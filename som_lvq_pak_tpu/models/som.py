@@ -1,0 +1,412 @@
+"""Self-organizing map: initializers, trainers, quantization error.
+
+Reference behavior: som_rout.c (randinit :34-162, lininit/eigenvectors
+:167-429, training :556-671, qerror :678-891).  Two execution paths:
+
+* parity — host NumPy with the C package's exact float32 op order;
+  bit-identical codebooks at equal seed/schedule (golden tests).
+* fast — jitted JAX for TPU: the per-sample scalar scans become batched
+  distance matmuls + argmin + neighborhood outer-product updates.
+  `som_train_fast` keeps the reference's *online* semantics (a lax.scan
+  over steps, one sample per step — winner search batched over the
+  codebook on the MXU); `som_train_batch` is the minibatch variant for
+  throughput (winner search for B samples in one matmul).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import replace
+from typing import Optional, Tuple
+
+import numpy as np
+
+from ..data.dataset import Dataset, Neighborhood, Topology
+from ..ops import exact
+from ..ops.neighborhood import grid_distance_matrix
+from ..utils.rng import CRandom
+from .common import ALPHA_LINEAR, alpha_schedule, effective_alpha, radius_schedule, sample_order
+
+F32 = np.float32
+FLT_MIN = np.float32(1.17549435e-38)
+FLT_MAX = np.float32(3.4028235e38)
+
+
+# ---------------------------------------------------------------------------
+# Initializers (parity path; cheap host work)
+# ---------------------------------------------------------------------------
+
+def randinit(
+    data: Dataset,
+    topol: Topology,
+    neigh: Neighborhood,
+    xdim: int,
+    ydim: int,
+    rng: CRandom,
+) -> Dataset:
+    """Uniform-random codebook in the per-component data [min, max] box
+    (randinit_codes, som_rout.c:34-162), consuming the LCG stream in the
+    C order (code-major, component-minor)."""
+    noc = xdim * ydim
+    pts = data.points
+    if data.mask is not None:
+        keep = data.mask == 0
+    else:
+        keep = np.ones_like(pts, dtype=bool)
+    compcnt = keep.sum(axis=0)
+    # C initializes the running max to FLT_MIN (not -FLT_MAX!)
+    maval = np.where(keep, pts, -np.inf).max(axis=0).astype(F32)
+    maval = np.maximum(maval, FLT_MIN)
+    mival = np.where(keep, pts, np.inf).min(axis=0).astype(F32)
+    mival = np.minimum(mival, FLT_MAX)
+
+    dim = data.dim
+    draws = rng.orand_array(noc * dim).reshape(noc, dim)
+    # C: mival + (maval - mival) * ((float)orand() / 32768.0)  — the
+    # subtraction is float, the rest double, rounded to float on store.
+    span = (maval - mival).astype(F32)
+    vals = mival.astype(np.float64) + span.astype(np.float64) * (
+        draws.astype(F32).astype(np.float64) / 32768.0
+    )
+    codes = np.where(compcnt > 0, vals, 0.0).astype(F32)
+    return Dataset(points=codes, topol=topol, neigh=neigh, xdim=xdim, ydim=ydim)
+
+
+def find_eigenvectors(data: Dataset, rng: CRandom) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Mean + two principal eigenvectors by the reference's 10-round
+    power iteration with Gram-Schmidt (som_rout.c:211-345), float32 math
+    (including the reference's mu carry-over quirk between the two
+    eigenvalue estimates). Returns (mean, e1, e2) float32 (dim,)."""
+    pts = data.points
+    n = data.dim
+    k = pts.shape[0]
+    if k < 3:
+        raise ValueError("find_eigenvectors: need at least 3 samples")
+    if data.mask is not None:
+        keep = data.mask == 0
+    else:
+        keep = np.ones_like(pts, dtype=bool)
+
+    # mean: float32 accumulation in data order, / count
+    m = np.zeros(n, dtype=F32)
+    for row, krow in zip(pts, keep):
+        m = np.where(krow, (m + row).astype(F32), m)
+    k2 = keep.sum(axis=0)
+    m = (m / k2.astype(F32)).astype(F32)
+
+    # autocorrelation (upper triangle accumulated in float32, data order)
+    r = np.zeros((n, n), dtype=F32)
+    iu, ju = np.triu_indices(n)
+    for row, krow in zip(pts, keep):
+        d = (row - m).astype(F32)
+        contrib = (d[iu] * d[ju]).astype(F32)
+        ok = krow[iu] & krow[ju]
+        upd = np.where(ok, (r[iu, ju] + contrib).astype(F32), r[iu, ju])
+        r[iu, ju] = upd
+    r_full = r.copy()
+    r_full = (r_full / F32(k)).astype(F32)
+    r_full[ju, iu] = r_full[iu, ju]
+    r = r_full
+
+    # two random start vectors from the LCG: orand()/16384.0 - 1.0
+    u = np.empty((2, n), dtype=F32)
+    mu = np.ones(2, dtype=F32)
+    for i in range(2):
+        draws = rng.orand_array(n).astype(np.float64)
+        u[i] = (draws / 16384.0 - 1.0).astype(F32)
+        u[i] = _normalize_f32(u[i])
+
+    v = np.empty_like(u)
+    for _ in range(10):
+        for i in range(2):
+            # v = mu_i * (R u_i) + u_i, float32 dot products per row
+            dots = _dot_rows_f32(r, u[i])
+            v[i] = (mu[i] * dots + u[i]).astype(F32)
+        v = _gram_schmidt_f32(v)
+        s = F32(0.0)
+        for i in range(2):
+            dots = _dot_rows_f32(r, v[i])
+            contrib = np.abs((v[i] / dots).astype(np.float64))
+            # C: float sum += fabs(...) accumulated sequentially
+            for c in contrib:
+                s = F32(s + c)
+            mu[i] = F32(s / F32(n))
+        u = v.copy()
+
+    if mu[0] == 0.0 or mu[1] == 0.0:
+        raise ValueError("find_eigenvectors: power iteration degenerated")
+    e1 = (u[0].astype(np.float64) / math.sqrt(mu[0])).astype(F32)
+    e2 = (u[1].astype(np.float64) / math.sqrt(mu[1])).astype(F32)
+    return m, e1, e2
+
+
+def _normalize_f32(v: np.ndarray) -> np.ndarray:
+    s = F32(0.0)
+    for x in v:
+        s = F32(s + F32(x) * F32(x))
+    s = F32(np.sqrt(np.float64(s)))
+    return (v / s).astype(F32)
+
+
+def _dot_rows_f32(r: np.ndarray, u: np.ndarray) -> np.ndarray:
+    """Per-row float32 sequential dot product (dotprod, som_rout.c:178-185)."""
+    acc = np.zeros(r.shape[0], dtype=F32)
+    for j in range(r.shape[1]):
+        acc = (acc + r[:, j] * u[j]).astype(F32)
+    return acc
+
+
+def _gram_schmidt_f32(v: np.ndarray) -> np.ndarray:
+    """gram_schmidt (som_rout.c:188-209), float32 op order."""
+    e, n = v.shape
+    w = np.zeros_like(v)
+    for i in range(e):
+        for t in range(n):
+            s = F32(v[i, t])
+            for j in range(i):
+                # sum -= w[j,t] * sum_p w[j,p] * v[i,p], accumulated per p
+                for p in range(n):
+                    s = F32(s - F32(w[j, t]) * F32(w[j, p]) * F32(v[i, p]))
+            w[i, t] = s
+        w[i] = _normalize_f32(w[i])
+    return w
+
+
+def lininit(
+    data: Dataset,
+    topol: Topology,
+    neigh: Neighborhood,
+    xdim: int,
+    ydim: int,
+    rng: CRandom,
+) -> Dataset:
+    """Grid initialization along the two principal eigenvectors
+    (lininit_codes, som_rout.c:347-429)."""
+    m, e1, e2 = find_eigenvectors(data, rng)
+    noc = xdim * ydim
+    idx = np.arange(noc)
+    # xf/yf are float variables in C (som_rout.c:352,412-414): the double
+    # expression rounds to float32, and the combination below is all-float.
+    xf = (4.0 * (idx % xdim).astype(F32).astype(np.float64) / (xdim - 1.0) - 2.0).astype(F32)
+    yf = (4.0 * (idx // xdim).astype(F32).astype(np.float64) / (ydim - 1.0) - 2.0).astype(F32)
+    pts = (
+        (m[None, :] + xf[:, None] * e1[None, :]).astype(F32) + yf[:, None] * e2[None, :]
+    ).astype(F32)
+    return Dataset(points=pts, topol=topol, neigh=neigh, xdim=xdim, ydim=ydim)
+
+
+# ---------------------------------------------------------------------------
+# Training — parity path (exact C float semantics, host)
+# ---------------------------------------------------------------------------
+
+def som_train(
+    codes: Dataset,
+    data: Dataset,
+    rlen: int,
+    alpha: float,
+    radius: float,
+    alpha_type: str = ALPHA_LINEAR,
+    random_order: bool = False,
+    rng: Optional[CRandom] = None,
+    use_weights: bool = False,
+    use_fixed: bool = False,
+    mode: str = "parity",
+    snapshot=None,
+) -> Dataset:
+    """SOM training (som_training, som_rout.c:556-671).
+
+    mode='parity': host float32 path, bit-identical to the C package.
+    mode='fast':   jitted on-device scan (same online semantics, XLA
+                   float behavior — equal results to float tolerance).
+    `snapshot`: optional callable (iteration, Dataset) -> None invoked
+    every `snapshot.interval` steps (checkpointing; lvq_pak.c:663-774).
+    """
+    if not codes.is_map:
+        raise ValueError("som_train: codebook is not a map (topol < hexa)")
+    if codes.dim != data.dim:
+        raise ValueError("code dimension != data dimension")
+    order = sample_order(data.n, rlen, random_order, rng)
+    talp = alpha_schedule(rlen, alpha, alpha_type)
+    trad = radius_schedule(rlen, radius)
+    # per-sample weighting folded into the schedule
+    if use_weights and data.weight is not None:
+        talp = effective_alpha(talp, data.weight[order], True)
+
+    gd = grid_distance_matrix(Topology(codes.topol), codes.xdim, codes.ydim)
+    gaussian = codes.neigh == Neighborhood.GAUSSIAN
+
+    X = data.points
+    M = data.mask
+    fixed_bmu = None
+    if use_fixed and data.fixed is not None:
+        fx = data.fixed
+        fixed_bmu = np.where(
+            (fx[:, 0] >= 0) & (fx[:, 1] >= 0), fx[:, 1] * codes.xdim + fx[:, 0], -1
+        ).astype(np.int64)
+
+    if mode == "parity":
+        new_pts = _som_loop_parity(
+            codes.points.copy(), X, M, order, talp, trad, gd, gaussian, fixed_bmu,
+            snapshot=snapshot, codes_meta=codes,
+        )
+    elif mode == "fast":
+        new_pts = _som_loop_fast(
+            codes.points, X, M, order, talp, trad, gd, gaussian, fixed_bmu
+        )
+    else:
+        raise ValueError(f"unknown mode {mode!r}")
+    return replace(codes, points=new_pts, comments=[])
+
+
+def _som_loop_parity(
+    codes, X, M, order, talp, trad, gd, gaussian, fixed_bmu, snapshot=None, codes_meta=None
+):
+    noc = codes.shape[0]
+    for le in range(order.shape[0]):
+        s = order[le]
+        x = X[s]
+        xm = M[s] if M is not None else None
+        a = talp[le]
+        r = trad[le]
+        if fixed_bmu is not None and fixed_bmu[s] >= 0:
+            bmu = int(fixed_bmu[s])
+        else:
+            bmu, _ = exact.find_winner_euc(x, codes, xm)
+            if bmu < 0:  # empty (all-masked) sample: skip teaching
+                _maybe_snapshot(snapshot, le, codes, codes_meta)
+                continue
+        d = gd[bmu]
+        if gaussian:
+            num = -(d * d)  # float32
+            den = (2.0 * np.float64(r)) * np.float64(r)
+            alp = (F32(a) * np.exp(num.astype(np.float64) / den).astype(F32)).astype(F32)
+            upd = codes + alp[:, None] * (x - codes)
+        else:
+            sel = d <= r
+            upd = np.where(sel[:, None], codes + F32(a) * (x - codes), codes)
+        if xm is not None:
+            upd = np.where(xm[None, :] != 0, codes, upd)
+        codes = upd.astype(F32)
+        _maybe_snapshot(snapshot, le, codes, codes_meta)
+    return codes
+
+
+def _maybe_snapshot(snapshot, le, codes, codes_meta):
+    if snapshot is not None and le > 0 and (le % snapshot.interval) == 0:
+        snapshot(le, replace(codes_meta, points=codes.copy(), comments=[]))
+
+
+def _som_loop_fast(codes, X, M, order, talp, trad, gd, gaussian, fixed_bmu):
+    """Online SOM as a jitted lax.scan over steps.  Winner search is a
+    (1, noc) distance matmul on the MXU; the neighborhood update is a
+    rank-1 weighted outer-product — the TPU-native form of
+    bubble_adapt/gaussian_adapt."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.distance import sq_distances
+
+    Xj = jnp.asarray(X)
+    Mj = None if M is None else jnp.asarray(M)
+    gdj = jnp.asarray(gd)
+    fb = None if fixed_bmu is None else jnp.asarray(fixed_bmu)
+
+    def step(codes, inp):
+        s, a, r = inp
+        x = Xj[s][None, :]
+        xm = None if Mj is None else Mj[s][None, :]
+        d = sq_distances(x, codes, xm)[0]
+        bmu = jnp.argmin(d)
+        if fb is not None:
+            bmu = jnp.where(fb[s] >= 0, fb[s], bmu)
+        grow = gdj[bmu]
+        if gaussian:
+            alp = a * jnp.exp(-(grow * grow) / (2.0 * r * r))
+        else:
+            alp = jnp.where(grow <= r, a, 0.0)
+        empty = jnp.all(xm != 0) if xm is not None else jnp.asarray(False)
+        alp = jnp.where(empty, 0.0, alp)
+        delta = alp[:, None] * (x - codes)
+        if xm is not None:
+            delta = jnp.where(xm != 0, 0.0, delta)
+        return codes + delta, None
+
+    inps = (
+        jnp.asarray(order),
+        jnp.asarray(talp),
+        jnp.asarray(trad),
+    )
+    final, _ = jax.jit(lambda c: jax.lax.scan(step, c, inps))(jnp.asarray(codes))
+    return np.asarray(final)
+
+
+# ---------------------------------------------------------------------------
+# Quantization error
+# ---------------------------------------------------------------------------
+
+def find_qerror(codes: Dataset, data: Dataset, mode: str = "parity") -> float:
+    """Mean distance-to-winner * N (find_qerror, som_rout.c:678-731).
+    Returns the *total* qerror like the C function; divide by N for the
+    per-sample figure the CLI prints."""
+    if mode == "parity":
+        q = F32(0.0)
+        for i in range(data.n):
+            xm = data.mask[i] if data.mask is not None else None
+            if xm is not None and xm.all():
+                continue
+            _, diff = exact.find_winner_euc(data.points[i], codes.points, xm)
+            q = F32(np.float64(q) + np.sqrt(np.float64(diff)))
+        return float(q)
+    import jax.numpy as jnp
+
+    from ..ops.distance import sq_distances
+
+    d = sq_distances(jnp.asarray(data.points), jnp.asarray(codes.points),
+                     None if data.mask is None else jnp.asarray(data.mask))
+    mind = jnp.min(d, axis=-1)
+    if data.mask is not None:
+        nonempty = ~np.asarray(data.mask).all(axis=1)
+        mind = mind * jnp.asarray(nonempty)
+    return float(jnp.sum(jnp.sqrt(jnp.maximum(mind, 0.0))))
+
+
+def find_qerror2(codes: Dataset, data: Dataset, radius: float) -> float:
+    """Neighborhood-weighted quantization error (-qetype 1;
+    find_qerror2/bubble_qerror/gaussian_qerror, som_rout.c:734-891)."""
+    gd = grid_distance_matrix(Topology(codes.topol), codes.xdim, codes.ydim)
+    gaussian = codes.neigh == Neighborhood.GAUSSIAN
+    q = F32(0.0)
+    for i in range(data.n):
+        xm = data.mask[i] if data.mask is not None else None
+        if xm is not None and xm.all():
+            continue
+        bmu, _ = exact.find_winner_euc(data.points[i], codes.points, xm)
+        if bmu < 0:
+            continue
+        # distance() here is vector_dist_euc: float accum + double sqrt
+        dvec = exact.pairwise_dist_euc(
+            data.points[i : i + 1], codes.points,
+            None if xm is None else xm[None, :], None,
+        )[0]
+        grow = gd[bmu]
+        # C accumulates a per-sample float32 subtotal in bubble_qerror/
+        # gaussian_qerror and adds it to the float32 total in find_qerror2
+        # (som_rout.c:868-877) — two-level float32 accumulation.
+        qs = F32(0.0)
+        if gaussian:
+            # C (som_rout.c:806-812): float alp = exp(double arg);
+            # qerror += alp * d * d  — all float32 products and adds
+            num = -(grow * grow)  # float32
+            den = (2.0 * np.float64(F32(radius))) * np.float64(F32(radius))
+            alp = np.exp(num.astype(np.float64) / den).astype(F32)
+            contrib = ((alp * dvec) * dvec).astype(F32)
+            for c_ in contrib:
+                qs = F32(qs + c_)
+        else:
+            # C (som_rout.c:760-768): qerror += d*d in float32
+            sel = grow <= F32(radius)
+            contrib = (dvec * dvec).astype(F32)
+            for j in np.nonzero(sel)[0]:
+                qs = F32(qs + contrib[j])
+        q = F32(q + qs)
+    return float(q)

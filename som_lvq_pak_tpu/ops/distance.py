@@ -1,0 +1,109 @@
+"""Batched distance + winner search — the framework's hot kernel (XLA path).
+
+This replaces the reference's per-sample scalar scans (find_winner_euc,
+lvq_pak.c:41-94; find_winner_knn :152-221) with the MXU-friendly form
+
+    D[b, n] = ||x_b||^2 - 2 x_b . m_n + ||m_n||^2_masked(b)
+
+computed as one batched matmul plus rank-1 corrections.  Masked
+components (mask=1) are zeroed in x before the matmul and the matching
+||m||^2 terms are removed with a second small matmul  mask_keep @ (M^2)^T
+— exactly the reference's "skip masked components" semantics
+(lvq_pak.c:63-72) at matmul speed (SURVEY.md §7 hard part 6).
+
+A fused Pallas kernel for large codebooks (argmin in the matmul epilogue,
+D never materialized in HBM) lives in ops.pallas_distance; this module is
+the portable XLA formulation and the reference oracle for it.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def sq_distances(
+    x: jnp.ndarray,
+    codes: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,
+    precision="highest",
+) -> jnp.ndarray:
+    """(B, N) squared euclidean distances over unmasked components.
+
+    x: (B, D) float32/bfloat16; codes: (N, D); mask: (B, D) nonzero where
+    the component is masked off (excluded from the distance).
+
+    precision defaults to 'highest' (true f32 matmul): the expanded form
+    ||x||^2 - 2x.m + ||m||^2 cancels catastrophically for near-winners if
+    the dot product is computed in bf16 on the MXU.  Pass None/'default'
+    explicitly to trade accuracy for throughput.
+    """
+    if mask is not None:
+        keep = 1.0 - mask.astype(x.dtype)
+        xk = x * keep
+    else:
+        xk = x
+    x2 = jnp.sum(xk * xk, axis=-1, keepdims=True)  # (B, 1)
+    xc = jax.lax.dot_general(
+        xk,
+        codes,
+        (((1,), (1,)), ((), ())),
+        precision=precision,
+        preferred_element_type=jnp.float32,
+    )  # (B, N)
+    if mask is not None:
+        c2 = jax.lax.dot_general(
+            keep,
+            codes * codes,
+            (((1,), (1,)), ((), ())),
+            precision=precision,
+            preferred_element_type=jnp.float32,
+        )  # (B, N): sum over kept dims of m^2
+    else:
+        c2 = jnp.sum(codes * codes, axis=-1)[None, :]  # (1, N)
+    return x2 - 2.0 * xc + c2
+
+
+def find_winners(
+    x: jnp.ndarray,
+    codes: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,
+    precision="highest",
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched 1-NN: returns (indices (B,), sq-dists (B,)).
+
+    Ties resolve to the first (lowest) index like the reference's strict
+    `<` scan (lvq_pak.c:79)."""
+    d = sq_distances(x, codes, mask, precision=precision)
+    idx = jnp.argmin(d, axis=-1)
+    return idx, jnp.take_along_axis(d, idx[:, None], axis=-1)[:, 0]
+
+
+def topk_winners(
+    x: jnp.ndarray,
+    codes: jnp.ndarray,
+    k: int,
+    mask: Optional[jnp.ndarray] = None,
+    reference_ties: bool = False,
+    precision="highest",
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched k-NN: returns (indices (B, k), sq-dists (B, k)) sorted by
+    ascending distance.
+
+    With reference_ties=True, equal distances order the later index first
+    (the reference insertion rule, lvq_pak.c:197-211); otherwise ties take
+    the lower index (cheaper on device).
+    """
+    d = sq_distances(x, codes, mask, precision=precision)
+    n = d.shape[-1]
+    if reference_ties:
+        # sort key (distance asc, index desc): stable-sort the reversed
+        # array so ties pick the highest original index first.
+        order = jnp.argsort(d[..., ::-1], axis=-1, stable=True)[..., :k]
+        idx = n - 1 - order
+        return idx, jnp.take_along_axis(d, idx, axis=-1)
+    negd, idx = jax.lax.top_k(-d, k)
+    return idx, -negd

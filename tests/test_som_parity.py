@@ -1,0 +1,124 @@
+"""Golden parity tests for the SOM path: bit-identical codebook files and
+the measured quantization-error golden from BASELINE.md (3.571006)."""
+
+import io
+import os
+
+import numpy as np
+import pytest
+
+from som_lvq_pak_tpu.data import Dataset, Neighborhood, Topology, read_data, write_data
+from som_lvq_pak_tpu.models.som import find_qerror, find_qerror2, lininit, randinit, som_train
+from som_lvq_pak_tpu.utils.rng import CRandom
+
+
+def _write_str(ds, comments=None):
+    buf = io.StringIO()
+    write_data(ds, None, comments=comments, fileobj=buf)
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def ex_dat():
+    path = "/root/reference/ex.dat"
+    if not os.path.exists(path):
+        pytest.skip("reference data missing")
+    return read_data(path)
+
+
+def test_randinit_matches_golden(ex_dat, golden_dir):
+    rng = CRandom()
+    rng.init_random(123)
+    codes = randinit(ex_dat, Topology.HEXA, Neighborhood.BUBBLE, 12, 8, rng)
+    ours = _write_str(codes, comments="# random seed: 123\n")
+    with open(os.path.join(golden_dir, "som_r.cod")) as f:
+        assert ours == f.read()
+
+
+def test_vsom_coarse_matches_golden(golden_dir, ex_dat):
+    codes = read_data(os.path.join(golden_dir, "som_r.cod"))
+    out = som_train(codes, ex_dat, rlen=1000, alpha=0.05, radius=10)
+    with open(os.path.join(golden_dir, "som_1.cod")) as f:
+        assert _write_str(out) == f.read()
+
+
+def test_vsom_fine_matches_golden(golden_dir, ex_dat):
+    codes = read_data(os.path.join(golden_dir, "som_1.cod"))
+    out = som_train(codes, ex_dat, rlen=10000, alpha=0.02, radius=3)
+    with open(os.path.join(golden_dir, "som_2.cod")) as f:
+        assert _write_str(out) == f.read()
+
+
+def test_qerror_golden(golden_dir, ex_dat):
+    codes = read_data(os.path.join(golden_dir, "som_2.cod"))
+    q = find_qerror(codes, ex_dat)
+    per_sample = np.float32(q) / np.float32(ex_dat.n)
+    assert "%f" % per_sample == "3.571006"
+
+
+def test_qerror_fast_close(golden_dir, ex_dat):
+    codes = read_data(os.path.join(golden_dir, "som_2.cod"))
+    q_par = find_qerror(codes, ex_dat, mode="parity")
+    q_fast = find_qerror(codes, ex_dat, mode="fast")
+    # the matmul form |x|^2-2xm+|m|^2 loses a few ulps to cancellation
+    assert abs(q_par - q_fast) / q_par < 1e-4
+
+
+def test_qerror2_golden(golden_dir, ex_dat):
+    codes = read_data(os.path.join(golden_dir, "som_2.cod"))
+    q = find_qerror2(codes, ex_dat, radius=3.0)
+    per_sample = np.float32(q) / np.float32(ex_dat.n)
+    assert "%f" % per_sample == "3844.190918"
+
+
+def test_gaussian_rect_pipeline_matches_golden(golden_dir, ex_dat):
+    """lininit (power-iteration parity, seed 7) + gaussian vsom, rect map."""
+    rng = CRandom()
+    rng.init_random(7)
+    codes = lininit(ex_dat, Topology.RECT, Neighborhood.GAUSSIAN, 12, 8, rng)
+    with open(os.path.join(golden_dir, "som_lin.cod")) as f:
+        assert _write_str(codes, comments="# random seed: 7\n") == f.read()
+
+    golden = read_data(os.path.join(golden_dir, "som_lin.cod"))
+    out = som_train(golden, ex_dat, rlen=500, alpha=0.05, radius=5)
+    with open(os.path.join(golden_dir, "som_g.cod")) as f:
+        assert _write_str(out) == f.read()
+
+
+def test_vsom_random_order_matches_golden(golden_dir, ex_dat):
+    """-rand 123 enables the LCG shuffle of the sample order."""
+    codes = read_data(os.path.join(golden_dir, "som_r.cod"))
+    rng = CRandom()
+    rng.init_random(123)
+    out = som_train(
+        codes, ex_dat, rlen=1000, alpha=0.05, radius=10, random_order=True, rng=rng
+    )
+    with open(os.path.join(golden_dir, "som_rand.cod")) as f:
+        assert _write_str(out) == f.read()
+
+
+def test_vsom_inverse_t_matches_golden(golden_dir, ex_dat):
+    codes = read_data(os.path.join(golden_dir, "som_r.cod"))
+    out = som_train(
+        codes, ex_dat, rlen=1000, alpha=0.05, radius=10, alpha_type="inverse_t"
+    )
+    with open(os.path.join(golden_dir, "som_invt.cod")) as f:
+        assert _write_str(out) == f.read()
+
+
+def test_fast_mode_close_to_parity(golden_dir, ex_dat):
+    """The jitted online trainer follows the parity path to float
+    tolerance.  Individual BMU decisions can flip when two codes are
+    within cancellation noise of each other, which makes long runs
+    diverge point-wise (chaotic map) — so compare the resulting map
+    quality (qerror), plus a short run point-wise."""
+    codes = read_data(os.path.join(golden_dir, "som_r.cod"))
+    par = som_train(codes, ex_dat, rlen=60, alpha=0.05, radius=10, mode="parity")
+    fast = som_train(codes, ex_dat, rlen=60, alpha=0.05, radius=10, mode="fast")
+    assert np.allclose(par.points, fast.points, rtol=1e-3, atol=1e-2)
+
+    par2 = som_train(codes, ex_dat, rlen=1000, alpha=0.05, radius=10, mode="parity")
+    fast2 = som_train(codes, ex_dat, rlen=1000, alpha=0.05, radius=10, mode="fast")
+    qp = find_qerror(par2, ex_dat, mode="fast")
+    qf = find_qerror(fast2, ex_dat, mode="fast")
+    assert abs(qp - qf) / qp < 2e-2
