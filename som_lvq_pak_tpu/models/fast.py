@@ -1,0 +1,188 @@
+"""Minibatch TPU training steps — the production throughput path.
+
+The reference trains strictly online (one sample per step,
+som_rout.c:600, lvq_rout.c:637).  On TPU the unit of work becomes a
+minibatch: one fused dist+argmin kernel call finds B winners at once,
+and the neighborhood/winner updates collapse into a second matmul
+(W^T X) — so a training step is two MXU contractions and stays at
+roofline.  This deviates from the reference's sequential-update
+semantics (documented; the parity trainers in som.py/lvq.py preserve
+them exactly); for small learning rates the accumulated-update batch is
+a first-order approximation of B online steps, and `update='mean'`
+implements the classic Kohonen batch-SOM rule instead.
+
+Grid distances are computed closed-form from unit coordinates on the
+VPU (hexa geometry: odd-row x offset +-0.5, y scaled sqrt(0.75),
+som_rout.c:434-455) instead of gathering rows of a (noc, noc) matrix —
+no HBM gather, works for maps of any size.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.dataset import Dataset, Neighborhood, Topology
+from .common import alpha_schedule, radius_schedule
+
+
+def unit_coords(xdim: int, ydim: int, hexa: bool) -> jnp.ndarray:
+    """(noc, 2) float32 effective grid coordinates.
+
+    For hexa maps the C pairwise formula (som_rout.c:434-455) is
+    equivalent to embedding odd rows at x+0.5 and scaling y by
+    sqrt(0.75), then taking plain euclidean distance.
+    """
+    idx = np.arange(xdim * ydim)
+    x = (idx % xdim).astype(np.float32)
+    y = (idx // xdim).astype(np.float32)
+    if hexa:
+        x = x + 0.5 * ((idx // xdim) % 2)
+        y = y * np.float32(np.sqrt(0.75))
+    return jnp.asarray(np.stack([x, y], axis=1))
+
+
+def grid_sq_dists(coords: jnp.ndarray, bmu: jnp.ndarray) -> jnp.ndarray:
+    """(B, noc) squared grid distances from each BMU to every unit."""
+    c = coords[bmu]  # (B, 2)
+    d = c[:, None, :] - coords[None, :, :]
+    return jnp.sum(d * d, axis=-1)
+
+
+def neighborhood_matrix(
+    coords: jnp.ndarray,
+    bmu: jnp.ndarray,
+    radius: jnp.ndarray,
+    alpha: jnp.ndarray,
+    gaussian: bool,
+) -> jnp.ndarray:
+    """(B, noc) adaptation weights (bubble: som_rout.c:472-506,
+    gaussian: :511-549)."""
+    d2 = grid_sq_dists(coords, bmu)
+    if gaussian:
+        return alpha * jnp.exp(-d2 / (2.0 * radius * radius))
+    return jnp.where(d2 <= radius * radius, alpha, 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("gaussian", "update", "use_pallas"))
+def som_batch_step(
+    codes: jnp.ndarray,
+    xb: jnp.ndarray,
+    coords: jnp.ndarray,
+    alpha,
+    radius,
+    gaussian: bool = False,
+    update: str = "sum",
+    use_pallas: bool = True,
+) -> jnp.ndarray:
+    """One minibatch SOM step: fused winner search + W^T X update.
+
+    update='sum':  codes += sum_b W_bj (x_b - m_j)   (accumulated online)
+    update='mean': codes  = blend toward (W^T X)_j / (W^T 1)_j  (batch SOM)
+    """
+    if use_pallas:
+        from ..ops.pallas_distance import dist_argmin
+
+        _, bmu = dist_argmin(xb, codes)
+    else:
+        from ..ops.distance import find_winners
+
+        bmu, _ = find_winners(xb, codes)
+    W = neighborhood_matrix(coords, bmu, radius, alpha, gaussian)  # (B, noc)
+    wx = jax.lax.dot_general(
+        W, xb, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (noc, D)
+    wsum = jnp.sum(W, axis=0)[:, None]  # (noc, 1)
+    if update == "mean":
+        target = wx / jnp.where(wsum > 0, wsum, 1.0)
+        blend = jnp.minimum(wsum, 1.0)
+        return jnp.where(wsum > 0, codes + blend * (target - codes), codes)
+    return codes + (wx - wsum * codes)
+
+
+@functools.partial(jax.jit, static_argnames=("use_pallas",))
+def olvq1_batch_step(
+    codes: jnp.ndarray,
+    code_labels: jnp.ndarray,
+    alphas: jnp.ndarray,
+    xb: jnp.ndarray,
+    xlabels: jnp.ndarray,
+    clip: float = 0.3,
+    use_pallas: bool = True,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One minibatch olvq1 step: winners for B samples, signed
+    segment-sum update, per-code alpha adaptation (lvq_rout.c:650-673
+    batched; winners sharing a code within the batch accumulate)."""
+    if use_pallas:
+        from ..ops.pallas_distance import dist_argmin
+
+        _, bmu = dist_argmin(xb, codes)
+    else:
+        from ..ops.distance import find_winners
+
+        bmu, _ = find_winners(xb, codes)
+    noc = codes.shape[0]
+    correct = code_labels[bmu] == xlabels  # (B,)
+    a = alphas[bmu]
+    sign = jnp.where(correct, a, -a)  # (B,)
+    delta = sign[:, None] * (xb - codes[bmu])
+    upd = jax.ops.segment_sum(delta, bmu, num_segments=noc)
+    ncorrect = jax.ops.segment_sum(correct.astype(jnp.float32), bmu, num_segments=noc)
+    nwrong = jax.ops.segment_sum((~correct).astype(jnp.float32), bmu, num_segments=noc)
+    # apply the alpha recurrences once per hit: a/(1+a) applied k times
+    # equals a/(1+k a); a/(1-a) likewise with clipping
+    new_a = alphas / (1.0 + ncorrect * alphas)
+    new_a = jnp.where(
+        nwrong > 0, jnp.minimum(new_a / (1.0 - nwrong * new_a), clip), new_a
+    )
+    return codes + upd, new_a
+
+
+def som_train_fast(
+    codes: Dataset,
+    data: Dataset,
+    rlen: int,
+    alpha: float,
+    radius: float,
+    batch_size: int = 1024,
+    update: str = "sum",
+    seed: int = 0,
+) -> Dataset:
+    """Minibatch SOM training driver: rlen counts *samples* like the
+    reference, grouped into batches; schedules follow the reference decay
+    evaluated at each batch's first sample."""
+    from dataclasses import replace
+
+    if not codes.is_map:
+        raise ValueError("not a map codebook")
+    gaussian = codes.neigh == Neighborhood.GAUSSIAN
+    coords = unit_coords(codes.xdim, codes.ydim, codes.topol == Topology.HEXA)
+
+    nb = max(1, rlen // batch_size)
+    talp = alpha_schedule(rlen, alpha)[:: max(1, batch_size)][:nb]
+    trad = radius_schedule(rlen, radius)[:: max(1, batch_size)][:nb]
+
+    key = jax.random.PRNGKey(seed)
+    X = jnp.asarray(data.points)
+    M = jnp.asarray(codes.points)
+    n = data.n
+
+    steps = jax.random.randint(key, (nb, batch_size), 0, n)
+
+    def body(m, inp):
+        idxs, a, r = inp
+        xb = X[idxs]
+        # scale the accumulated-sum step to keep parity with B online steps
+        a_eff = a if update == "mean" else a
+        return (
+            som_batch_step(m, xb, coords, a_eff, r, gaussian=gaussian, update=update,
+                           use_pallas=jax.default_backend() == "tpu"),
+            None,
+        )
+
+    M, _ = jax.lax.scan(body, M, (steps, jnp.asarray(talp), jnp.asarray(trad)))
+    return replace(codes, points=np.asarray(M), comments=[])

@@ -74,10 +74,10 @@ def pick_inside_codes(
 
 
 def pick_codes(num: int, data: Dataset) -> Dataset:
-    """First `num` entries as an LVQ codebook (pick_codes,
-    lvq_rout.c:85-119; the `pick` tool)."""
-    out = data.take(np.arange(min(num, data.n)))
-    return replace(out, topol=Topology.LVQ, neigh=out.neigh)
+    """First `num` entries as a codebook (pick_codes, lvq_rout.c:85-119;
+    the `pick` tool).  Keeps the source header's topology (copy_entries
+    semantics — a plain data file stays a plain data file)."""
+    return data.take(np.arange(min(num, data.n)))
 
 
 def eveninit(

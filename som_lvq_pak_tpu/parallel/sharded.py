@@ -1,0 +1,125 @@
+"""Sharded winner search and training steps over a (data, model) mesh.
+
+Design (SURVEY.md §2.6, §7 layer 4 — all new; the reference has no
+parallelism):
+
+* codebook rows sharded on the `model` axis; each chip computes a fused
+  dist+argmin over its shard (ops.pallas_distance) and the global winner
+  is resolved with an all_gather of (local_min, global_index) candidate
+  pairs over the model axis — S candidates per sample, S = model-axis
+  size, so the collective moves only O(B*S) scalars, riding ICI.
+  Tie-break: lowest global index among equal distances (the C scan's
+  first-index rule, lvq_pak.c:79).
+* the batch is sharded on the `data` axis; each data shard computes its
+  local W^T X / W^T 1 update accumulators, combined with a psum over
+  `data` — the framework's only other collective.
+* each model shard then updates its own codebook rows locally: the
+  neighborhood weight columns for local rows are computed closed-form
+  from unit coordinates, so no (noc, noc) matrix and no cross-shard
+  traffic for the update.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.fast import neighborhood_matrix
+
+
+def _local_winner(xb, codes_local, use_pallas):
+    if use_pallas:
+        from ..ops.pallas_distance import dist_argmin
+
+        return dist_argmin(xb, codes_local)
+    from ..ops.distance import find_winners
+
+    idx, val = find_winners(xb, codes_local)
+    return val, idx
+
+
+def sharded_winner_search(xb, codes_local, n_local: int, use_pallas: bool = False):
+    """Inside shard_map: global (val, index) winners for the local batch
+    shard against the model-sharded codebook.
+
+    Returns (val (Bl,), global_idx (Bl,)). Must be called under a mesh
+    with axes ('data', 'model')."""
+    val_l, idx_l = _local_winner(xb, codes_local, use_pallas)
+    shard = jax.lax.axis_index("model")
+    gidx_l = idx_l.astype(jnp.int32) + shard.astype(jnp.int32) * n_local
+    vals = jax.lax.all_gather(val_l, "model")  # (S, Bl)
+    gidxs = jax.lax.all_gather(gidx_l, "model")  # (S, Bl)
+    best_val = jnp.min(vals, axis=0)
+    cand = jnp.where(vals == best_val[None, :], gidxs, jnp.iinfo(jnp.int32).max)
+    best_idx = jnp.min(cand, axis=0)  # lowest global index wins ties
+    return best_val, best_idx
+
+
+def sharded_som_step(
+    codes_local, xb_local, coords_local, coords_full, alpha, radius,
+    gaussian: bool, use_pallas: bool = False,
+):
+    """One sharded minibatch SOM step (runs inside shard_map).
+
+    codes_local: (noc/S, D) on the model axis
+    xb_local:    (B/Dd, D) on the data axis
+    coords_local:(noc/S, 2) unit coords of the local codebook rows
+    coords_full: (noc, 2) replicated unit coords (for BMU lookup)
+    """
+    n_local = codes_local.shape[0]
+    _, bmu = sharded_winner_search(xb_local, codes_local, n_local, use_pallas)
+    # W columns for local rows only: distances bmu-coord -> local coords
+    c = coords_full[bmu]  # (Bl, 2)
+    d = c[:, None, :] - coords_local[None, :, :]
+    d2 = jnp.sum(d * d, axis=-1)  # (Bl, noc/S)
+    if gaussian:
+        W = alpha * jnp.exp(-d2 / (2.0 * radius * radius))
+    else:
+        W = jnp.where(d2 <= radius * radius, alpha, 0.0)
+    wx = jax.lax.dot_general(
+        W, xb_local, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (noc/S, D)
+    wsum = jnp.sum(W, axis=0)[:, None]
+    # combine partial accumulators over the data axis
+    wx = jax.lax.psum(wx, "data")
+    wsum = jax.lax.psum(wsum, "data")
+    return codes_local + (wx - wsum * codes_local)
+
+
+def make_sharded_som_train_step(
+    mesh: Mesh, gaussian: bool, use_pallas: bool = False
+) -> Callable:
+    """Build a jitted sharded train step:
+    step(codes (noc, D), xb (B, D), coords (noc, 2), alpha, radius) ->
+    codes, with codes sharded P('model', None) and xb P('data', None)."""
+    shard_map = jax.shard_map
+
+    fn = functools.partial(sharded_som_step, gaussian=gaussian, use_pallas=use_pallas)
+    smapped = shard_map(
+        lambda c, x, cl, cf, a, r: fn(c, x, cl, cf, a, r),
+        mesh=mesh,
+        check_vma=False,
+        in_specs=(
+            P("model", None),  # codebook rows
+            P("data", None),  # batch rows
+            P("model", None),  # coords of local rows
+            P(),  # full coords, replicated
+            P(),
+            P(),
+        ),
+        out_specs=P("model", None),
+    )
+    return jax.jit(smapped)
+
+
+def shard_arrays(mesh: Mesh, codes, xb, coords):
+    """Place arrays with the training-step shardings."""
+    cs = jax.device_put(codes, NamedSharding(mesh, P("model", None)))
+    xs = jax.device_put(xb, NamedSharding(mesh, P("data", None)))
+    cl = jax.device_put(coords, NamedSharding(mesh, P("model", None)))
+    cf = jax.device_put(coords, NamedSharding(mesh, P()))
+    return cs, xs, cl, cf
