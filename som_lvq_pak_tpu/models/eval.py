@@ -141,9 +141,12 @@ def confusion_matrix(
     codes: Dataset,
     labels: Optional[LabelTable] = None,
     parity: bool = True,
-) -> Tuple[str, np.ndarray]:
+) -> Tuple[str, np.ndarray, np.ndarray]:
     """Confusion matrix by the 1-NN rule (compute_cmatr, cmatr.c:41-170).
-    Pairs are tallied as datalabel*65536+label like the reference."""
+    Pairs are tallied as datalabel*65536+label like the reference.
+    Returns (report, matrix, per_sample_correct) — the last is the
+    -cfout 0/1 stream over the valid (not all-masked) samples
+    (cmatr.c:96-106)."""
     table = labels if labels is not None else GLOBAL_LABELS
     dlabels = data.first_labels()
     wlabels = _winner_labels(data, codes, parity)
@@ -154,12 +157,16 @@ def confusion_matrix(
 
     correct, totals, confusion = Hitlist(), Hitlist(), Hitlist()
     stotal = total = 0
+    ok: List[int] = []
     for dl, wl, v in zip(dlabels.tolist(), wlabels.tolist(), valid.tolist()):
         if not v:
             continue
         if dl == wl:
             stotal += 1
             correct.add_hit(dl)
+            ok.append(1)
+        else:
+            ok.append(0)
         confusion.add_hit(dl * 65536 + wl)
         totals.add_hit(dl)
         total += 1
@@ -193,7 +200,7 @@ def confusion_matrix(
             row += "%4d " % c
         lines.append(row)
     lines.append("")
-    return "\n".join(lines) + "\n", mat
+    return "\n".join(lines) + "\n", mat, np.asarray(ok, dtype=np.uint8)
 
 
 MCNEMAR_ALPHA = (0.05, 0.025, 0.01, 0.005)

@@ -319,9 +319,11 @@ def lvq1_train(
     random_order: bool = False,
     rng: Optional[CRandom] = None,
     mode: str = "parity",
+    snapshot=None,
 ) -> Dataset:
     """lvq1: move the 1-NN winner toward (label match) or away
-    (lvq1_training, lvq_rout.c:498-577)."""
+    (lvq1_training, lvq_rout.c:498-577).  `snapshot`: interval hook
+    (lvq_rout.c:559-567)."""
     order = _train_setup(codes, data, rlen, random_order, rng)
     talpha = alpha_schedule(rlen, alpha, alpha_type)
     if mode == "fast":
@@ -336,6 +338,7 @@ def lvq1_train(
         w, _ = exact.find_winner_euc(x, pts, xm)
         a = talpha[le] if clabels[w] == dlabels[s] else F32(-talpha[le])
         pts[w] = exact.adapt_vector(pts[w], x, a, xm)
+        _maybe_snapshot(snapshot, le, codes, pts)
     return replace(codes, points=pts, comments=[])
 
 
@@ -350,6 +353,7 @@ def olvq1_train(
     mode: str = "parity",
     return_alphas: bool = False,
     n_active: Optional[int] = None,
+    snapshot=None,
 ):
     """olvq1: per-code adaptive learning rates — correct winner
     α←α/(1+α), wrong winner α←α/(1−α) clipped at the initial α
@@ -402,6 +406,7 @@ def olvq1_train(
                 pts[w] = exact.adapt_vector(pts[w], x, F32(-a), xm)
                 na = F32(a / F32(1.0 - a))
                 talpha[w] = min(na, clip)
+            _maybe_snapshot(snapshot, le, codes, pts)
         out = replace(codes, points=pts, comments=[])
     if return_alphas:
         return out, talpha
@@ -418,6 +423,7 @@ def _lvq23_train(
     alpha_type: str,
     random_order: bool,
     rng: Optional[CRandom],
+    snapshot=None,
 ) -> Dataset:
     """Shared lvq2.1/lvq3 loop (lvq_rout.c:702-916). epsilon=None → lvq2."""
     order = _train_setup(codes, data, rlen, random_order, rng)
@@ -448,22 +454,31 @@ def _lvq23_train(
                 ae = F32(a * F32(epsilon))
                 pts[b] = exact.adapt_vector(pts[b], x, ae, xm)
                 pts[nb] = exact.adapt_vector(pts[nb], x, ae, xm)
+        _maybe_snapshot(snapshot, le, codes, pts)
     return replace(codes, points=pts, comments=[])
 
 
+def _maybe_snapshot(snapshot, le, codes_meta, pts):
+    """Interval snapshot hook shared by the LVQ trainers
+    (lvq_rout.c:559-567, :676-684)."""
+    if snapshot is not None and le > 0 and (le % snapshot.interval) == 0:
+        snapshot(le, replace(codes_meta, points=pts.copy(), comments=[]))
+
+
 def lvq2_train(codes, data, rlen, alpha, winlen, alpha_type=ALPHA_LINEAR,
-               random_order=False, rng=None, mode="parity"):
+               random_order=False, rng=None, mode="parity", snapshot=None):
     """lvq2.1 window-rule training (lvq_rout.c:702-803)."""
     return _lvq23_train(codes, data, rlen, alpha, winlen, None, alpha_type,
-                        random_order, rng)
+                        random_order, rng, snapshot)
 
 
 def lvq3_train(codes, data, rlen, alpha, winlen, epsilon,
-               alpha_type=ALPHA_LINEAR, random_order=False, rng=None, mode="parity"):
+               alpha_type=ALPHA_LINEAR, random_order=False, rng=None,
+               mode="parity", snapshot=None):
     """lvq3 training: lvq2.1 rule + same-class epsilon pull
     (lvq_rout.c:808-916)."""
     return _lvq23_train(codes, data, rlen, alpha, winlen, epsilon, alpha_type,
-                        random_order, rng)
+                        random_order, rng, snapshot)
 
 
 # ---------------------------------------------------------------------------

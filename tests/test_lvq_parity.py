@@ -138,10 +138,11 @@ def test_classify_golden(ex2, golden_dir):
 
 def test_cmatr_golden(ex2, golden_dir):
     codes = read_data(os.path.join(golden_dir, "lvq_o.cod"))
-    report, mat = confusion_matrix(ex2, codes)
+    report, mat, ok = confusion_matrix(ex2, codes)
     with open(os.path.join(golden_dir, "cmatr.txt")) as f:
         assert report == f.read()
     assert mat.sum() == ex2.n
+    assert ok.sum() == mat.trace()
 
 
 def test_mcnemar_golden(golden_dir):
