@@ -5,10 +5,11 @@ SOM shape, single chip).  The metric is codebook-distance evaluations per
 second per chip; vs_baseline compares against the reference C package's
 measured 63 M evals/s (vsom hot loop, 1 CPU core — BASELINE.md).
 
-Prints ONE JSON line.  Timing runs the kernel in an on-device scan loop
-with a data dependency between iterations (each call's winner distances
-perturb the next batch), so queue/tunnel latency is amortized and XLA
-cannot elide work.
+Prints ONE JSON line.  Timing chains ITERS async kernel dispatches with a
+data dependency between iterations (each call's winner distances perturb
+the next batch), so XLA cannot elide work, and blocks once at the end —
+dispatch overhead amortizes without paying lax.scan's (very slow through
+the TPU tunnel) trace/compile cost.
 """
 
 import json
@@ -24,22 +25,30 @@ import jax.numpy as jnp
 from som_lvq_pak_tpu.ops.pallas_distance import dist_argmin
 
 B, N, D = 1024, 65536, 64
-ITERS = 400
+ITERS = 200
 BASELINE_EVALS_PER_S = 63e6  # reference vsom, 1 CPU core (BASELINE.md)
 
 
-def make_loop(tile_b, tile_n, iters):
+def make_step(tile_b, tile_n):
     @jax.jit
-    def loop(x, m, m2):
-        def body(carry, _):
-            xx, acc = carry
-            val, idx = dist_argmin(xx, m, m2, tile_b=tile_b, tile_n=tile_n)
-            xx = xx + 1e-30 * val[:, None]
-            return (xx, acc + idx.sum()), None
-        (_, acc), _ = jax.lax.scan(body, (x, jnp.int32(0)), None, length=iters)
-        return acc
+    def step(x, m, m2):
+        val, idx = dist_argmin(x, m, m2, tile_b=tile_b, tile_n=tile_n)
+        # data dependency for the next iteration; numerically a no-op
+        return x + 1e-30 * val[:, None], idx
 
-    return loop
+    return step
+
+
+def time_config(tile_b, tile_n, x, m, m2):
+    step = make_step(tile_b, tile_n)
+    xx, idx = step(x, m, m2)  # compile + warm
+    idx.block_until_ready()
+    t0 = time.time()
+    for _ in range(ITERS):
+        xx, idx = step(xx, m, m2)
+    idx.block_until_ready()
+    dt = (time.time() - t0) / ITERS
+    return B * N / dt
 
 
 def main():
@@ -50,13 +59,7 @@ def main():
 
     best = 0.0
     for tile_b, tile_n in ((512, 1024), (1024, 2048)):
-        loop = make_loop(tile_b, tile_n, ITERS)
-        int(loop(x, m, m2))  # compile + warm
-        t0 = time.time()
-        int(loop(x + 1.0, m, m2))  # force full execution + result fetch
-        dt = (time.time() - t0) / ITERS
-        evals = B * N / dt
-        best = max(best, evals)
+        best = max(best, time_config(tile_b, tile_n, x, m, m2))
 
     print(
         json.dumps(
