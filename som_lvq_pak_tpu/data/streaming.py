@@ -1,0 +1,160 @@
+"""Buffered streaming loader — the reference's LOADMODE_BUFFER rebuilt
+as a host input pipeline.
+
+The reference streams huge files by refilling a linked-list buffer of
+`buffer` entries at a time inside next_entry, rewinding (re-opening a
+compressed stream if needed) at end of file each training lap
+(read_entries, datafile.c:237-344; next_entry/rewind_entries,
+datafile.c:754-840).
+
+Here the same contract is a chunk iterator over Dataset slices with a
+background prefetch thread, so host parsing overlaps device compute —
+the TPU analogue of the reference's interleaved read-train loop.  Chunks
+parse through the native C++ engine when available."""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, List, Optional
+
+from .dataset import Dataset
+from .io import _open_read, parse_header
+from .labels import GLOBAL_LABELS, LabelTable
+
+
+class StreamingReader:
+    """Iterate a data file `buffer` entries at a time.
+
+    Each iteration yields a Dataset carrying the file's header metadata;
+    `laps` controls how many passes over the file are made (None =
+    iterate forever, the trainer's wrap-around semantics)."""
+
+    def __init__(
+        self,
+        name: str,
+        buffer: int,
+        labels: Optional[LabelTable] = None,
+        skip_empty: bool = True,
+        prefetch: int = 2,
+    ):
+        if buffer <= 0:
+            raise ValueError("buffer must be positive")
+        self.name = name
+        self.buffer = buffer
+        self.labels = labels if labels is not None else GLOBAL_LABELS
+        self.skip_empty = skip_empty
+        self.prefetch = prefetch
+        # parse the header once up front
+        f = _open_read(name)
+        try:
+            header = None
+            self.comments: List[str] = []
+            for raw in f:
+                line = raw.rstrip("\n")
+                if not line.strip():
+                    continue
+                if line.startswith("#"):
+                    self.comments.append(line)
+                    continue
+                header = line
+                break
+            if header is None:
+                raise ValueError(f"{name}: no header line")
+            self.header = header
+            (self.dim, self.topol, self.neigh, self.xdim, self.ydim) = parse_header(header)
+        finally:
+            if hasattr(f, "close"):
+                f.close()
+
+    # -- single lap ------------------------------------------------------
+
+    def _chunks_one_lap(self) -> Iterator[Dataset]:
+        from . import native_io
+        from .io import read_data
+        import io as _io
+
+        f = _open_read(self.name)  # rewind = re-open (fileio.c:383-426)
+        try:
+            # skip past the header
+            for raw in f:
+                line = raw.rstrip("\n")
+                if not line.strip() or line.startswith("#"):
+                    continue
+                break
+            lines: List[str] = []
+            for raw in f:
+                if raw.startswith("#"):
+                    continue
+                if not raw.strip():
+                    continue
+                lines.append(raw)
+                if len(lines) >= self.buffer:
+                    yield self._parse_chunk(lines)
+                    lines = []
+            if lines:
+                yield self._parse_chunk(lines)
+        finally:
+            if hasattr(f, "close"):
+                f.close()
+
+    def _parse_chunk(self, lines: List[str]) -> Dataset:
+        from . import native_io
+
+        text = self.header + "\n" + "".join(lines)
+        ds = native_io.parse_text_native(
+            text, labels=self.labels, skip_empty=self.skip_empty
+        )
+        if ds is None:
+            import io as _io
+
+            from .io import read_data
+
+            ds = read_data(
+                "<chunk>", labels=self.labels, skip_empty=self.skip_empty,
+                fileobj=_io.StringIO(text),
+            )
+        return ds
+
+    # -- iteration with prefetch ----------------------------------------
+
+    def chunks(self, laps: Optional[int] = 1) -> Iterator[Dataset]:
+        """Yield chunk Datasets, prefetching ahead on a worker thread."""
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+        SENTINEL = object()
+
+        def producer():
+            try:
+                lap = 0
+                while laps is None or lap < laps:
+                    for chunk in self._chunks_one_lap():
+                        if stop.is_set():
+                            return
+                        q.put(chunk)
+                    lap += 1
+                q.put(SENTINEL)
+            except BaseException as e:  # surface parse errors to consumer
+                q.put(e)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is SENTINEL:
+                    return
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+            # drain so the producer can exit
+            while not q.empty():
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break
+
+    def __iter__(self) -> Iterator[Dataset]:
+        return self.chunks(laps=1)
