@@ -1,9 +1,21 @@
 from .mesh import make_mesh
-from .sharded import sharded_som_step, sharded_winner_search, make_sharded_som_train_step
+from .sharded import (
+    dim_sharded_winner_search,
+    make_dim_sharded_winner,
+    make_sharded_olvq1_train_step,
+    make_sharded_som_train_step,
+    sharded_olvq1_step,
+    sharded_som_step,
+    sharded_winner_search,
+)
 
 __all__ = [
     "make_mesh",
     "sharded_som_step",
     "sharded_winner_search",
+    "sharded_olvq1_step",
+    "dim_sharded_winner_search",
     "make_sharded_som_train_step",
+    "make_sharded_olvq1_train_step",
+    "make_dim_sharded_winner",
 ]

@@ -90,6 +90,104 @@ def sharded_som_step(
     return codes_local + (wx - wsum * codes_local)
 
 
+def sharded_olvq1_step(
+    codes_local, labels_full, alphas_full, xb_local, xlab_local,
+    clip: float, use_pallas: bool = False,
+):
+    """One sharded minibatch olvq1 step (runs inside shard_map).
+
+    codes_local: (noc/S, D) sharded on `model`
+    labels_full: (noc,) int32 code labels, replicated (tiny)
+    alphas_full: (noc,) per-code learning rates, replicated — the update
+                 counts are identical on every model shard, so the
+                 replicated alpha state stays consistent without a
+                 collective over `model`
+    xb_local:    (B/Dd, D) sharded on `data` (replicated over `model`)
+
+    Update math matches models.fast.olvq1_batch_step: winners sharing a
+    code within the batch accumulate, alpha recurrences apply once per
+    hit-count (a/(1+k a), clipped a/(1-k a))."""
+    n_local = codes_local.shape[0]
+    noc = labels_full.shape[0]
+    _, gidx = sharded_winner_search(xb_local, codes_local, n_local, use_pallas)
+
+    correct = labels_full[gidx] == xlab_local  # (Bl,)
+    a = alphas_full[gidx]
+    sign = jnp.where(correct, a, -a)
+
+    shard = jax.lax.axis_index("model").astype(jnp.int32)
+    lidx = gidx - shard * n_local
+    in_local = (lidx >= 0) & (lidx < n_local)
+    lidx_c = jnp.clip(lidx, 0, n_local - 1)
+    contrib = jnp.where(in_local, sign, 0.0)[:, None] * (xb_local - codes_local[lidx_c])
+    delta = jax.ops.segment_sum(contrib, lidx_c, num_segments=n_local)
+    delta = jax.lax.psum(delta, "data")
+
+    # per-code hit counts over the FULL index space; every model shard
+    # computes the same value, so only the data axis needs a psum
+    ncorrect = jax.lax.psum(
+        jax.ops.segment_sum(correct.astype(jnp.float32), gidx, num_segments=noc),
+        "data",
+    )
+    nwrong = jax.lax.psum(
+        jax.ops.segment_sum((~correct).astype(jnp.float32), gidx, num_segments=noc),
+        "data",
+    )
+    new_a = alphas_full / (1.0 + ncorrect * alphas_full)
+    new_a = jnp.where(
+        nwrong > 0, jnp.minimum(new_a / (1.0 - nwrong * new_a), clip), new_a
+    )
+    return codes_local + delta, new_a
+
+
+def make_sharded_olvq1_train_step(mesh: Mesh, clip: float = 0.3,
+                                  use_pallas: bool = False) -> Callable:
+    """step(codes (noc,D), labels (noc,), alphas (noc,), xb (B,D),
+    xlabels (B,)) -> (codes, alphas); codes sharded P('model', None),
+    batch P('data')."""
+    fn = functools.partial(sharded_olvq1_step, clip=clip, use_pallas=use_pallas)
+    smapped = jax.shard_map(
+        lambda c, l, a, x, xl: fn(c, l, a, x, xl),
+        mesh=mesh,
+        check_vma=False,
+        in_specs=(P("model", None), P(), P(), P("data", None), P("data")),
+        out_specs=(P("model", None), P()),
+    )
+    return jax.jit(smapped)
+
+
+def dim_sharded_winner_search(xb_d, codes_d, axis: str = "model"):
+    """Feature-axis-sharded winner search — the sequence-parallel
+    analogue for very high-dimensional vectors (SURVEY.md §2.6): X and M
+    are sharded along D, each chip computes the partial contraction
+    -2 X_d M_d^T + ||M_d||^2, the partial distances are psum'd over the
+    feature axis, and the argmin is local.  Moves O(B*N) floats over ICI
+    instead of gathering O(N*D) codebook columns.
+
+    Returns (sq_dist_without_x2 (B,), idx (B,)) — like the C scan, the
+    ||x||^2 constant is dropped (it cannot change the argmin)."""
+    partial = jnp.sum(codes_d * codes_d, axis=-1)[None, :] - 2.0 * jax.lax.dot_general(
+        xb_d, codes_d, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (B, N) partial over local feature slice
+    d = jax.lax.psum(partial, axis)
+    idx = jnp.argmin(d, axis=-1).astype(jnp.int32)
+    val = jnp.min(d, axis=-1)
+    return val, idx
+
+
+def make_dim_sharded_winner(mesh: Mesh) -> Callable:
+    """winner(xb (B, D), codes (N, D)) with the feature axis sharded over
+    `model` and the batch over `data`."""
+    smapped = jax.shard_map(
+        dim_sharded_winner_search,
+        mesh=mesh,
+        check_vma=False,
+        in_specs=(P("data", "model"), P(None, "model")),
+        out_specs=(P("data"), P("data")),
+    )
+    return jax.jit(smapped)
+
+
 def make_sharded_som_train_step(
     mesh: Mesh, gaussian: bool, use_pallas: bool = False
 ) -> Callable:

@@ -50,3 +50,45 @@ def test_sharded_gaussian(mesh):
     step = make_sharded_som_train_step(mesh, gaussian=True, use_pallas=False)
     out = step(*shard_arrays(mesh, codes, xb, coords), jnp.float32(0.02), jnp.float32(2.0))
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_sharded_olvq1_matches_batch_step(mesh):
+    from som_lvq_pak_tpu.models.fast import olvq1_batch_step
+    from som_lvq_pak_tpu.parallel.sharded import make_sharded_olvq1_train_step
+
+    B, N, D = 64, 16 * 8, 16
+    k1, k2, k3, k4 = jax.random.split(jax.random.PRNGKey(7), 4)
+    codes = jax.random.normal(k1, (N, D), dtype=jnp.float32)
+    xb = jax.random.normal(k2, (B, D), dtype=jnp.float32) * 2
+    clabels = jax.random.randint(k3, (N,), 1, 5)
+    xlabels = jax.random.randint(k4, (B,), 1, 5)
+    alphas = jnp.full((N,), 0.3, dtype=jnp.float32)
+
+    ref_codes, ref_a = olvq1_batch_step(codes, clabels, alphas, xb, xlabels,
+                                        use_pallas=False)
+    step = make_sharded_olvq1_train_step(mesh)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    cs = jax.device_put(codes, NamedSharding(mesh, P("model", None)))
+    xs = jax.device_put(xb, NamedSharding(mesh, P("data", None)))
+    xl = jax.device_put(xlabels, NamedSharding(mesh, P("data")))
+    out_codes, out_a = step(cs, clabels, alphas, xs, xl)
+    np.testing.assert_allclose(np.asarray(out_codes), np.asarray(ref_codes),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_a), np.asarray(ref_a),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_dim_sharded_winner_search(mesh):
+    from som_lvq_pak_tpu.ops.pallas_distance import dist_argmin_reference
+    from som_lvq_pak_tpu.parallel.sharded import make_dim_sharded_winner
+
+    B, N, D = 32, 64, 32  # D divides the 4-wide model axis
+    k1, k2 = jax.random.split(jax.random.PRNGKey(11))
+    codes = jax.random.normal(k1, (N, D), dtype=jnp.float32)
+    xb = jax.random.normal(k2, (B, D), dtype=jnp.float32) * 3
+    _, ref_idx = dist_argmin_reference(xb, codes)
+
+    winner = make_dim_sharded_winner(mesh)
+    val, idx = winner(xb, codes)
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref_idx))
