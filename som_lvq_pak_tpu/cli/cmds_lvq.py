@@ -90,11 +90,17 @@ def cmd_lvqtrain(scanner: ArgScanner, progname: str) -> int:
     codes = load_data(in_code_file, "codes")
     require_same_dim(data, codes)
 
+    progress = None
+    if ifverbose(1) and sys.stderr.isatty():
+        from ..utils.progress import Mprint
+
+        progress = Mprint()
     try:
         if lvqtype == "lvq1":
             out = lvq.lvq1_train(
                 codes, data, rlen, alpha, alpha_type=alpha_type,
                 random_order=random_order, rng=rng, snapshot=snapshot,
+                progress=progress,
             )
         elif lvqtype == "olvq1":
             init_alphas = None
@@ -103,19 +109,20 @@ def cmd_lvqtrain(scanner: ArgScanner, progname: str) -> int:
             out, alphas = lvq.olvq1_train(
                 codes, data, rlen, alpha, init_alphas=init_alphas,
                 random_order=random_order, rng=rng, return_alphas=True,
-                snapshot=snapshot,
+                snapshot=snapshot, progress=progress,
             )
             write_alpha_file(out_code_file, alphas)
         elif lvqtype == "lvq2":
             out = lvq.lvq2_train(
                 codes, data, rlen, alpha, winlen, alpha_type=alpha_type,
                 random_order=random_order, rng=rng, snapshot=snapshot,
+                progress=progress,
             )
         else:
             out = lvq.lvq3_train(
                 codes, data, rlen, alpha, winlen, epsilon,
                 alpha_type=alpha_type, random_order=random_order, rng=rng,
-                snapshot=snapshot,
+                snapshot=snapshot, progress=progress,
             )
     finally:
         if snapshot is not None:

@@ -108,11 +108,17 @@ def cmd_vsom(scanner: ArgScanner, progname: str) -> int:
     require_map(codes, in_code_file)
     require_same_dim(data, codes)
 
+    progress = None
+    if ifverbose(1) and sys.stderr.isatty():
+        from ..utils.progress import Mprint
+
+        progress = Mprint()
     try:
         out = som.som_train(
             codes, data, rlen, alpha, radius,
             alpha_type=alpha_type, random_order=random_order, rng=rng,
             use_weights=weights, use_fixed=fixed, snapshot=snapshot,
+            progress=progress,
         )
     finally:
         if snapshot is not None:

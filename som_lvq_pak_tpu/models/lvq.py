@@ -320,6 +320,7 @@ def lvq1_train(
     rng: Optional[CRandom] = None,
     mode: str = "parity",
     snapshot=None,
+    progress=None,
 ) -> Dataset:
     """lvq1: move the 1-NN winner toward (label match) or away
     (lvq1_training, lvq_rout.c:498-577).  `snapshot`: interval hook
@@ -332,6 +333,8 @@ def lvq1_train(
     clabels = codes.first_labels().copy()
     dlabels = data.first_labels()
     for le in range(rlen):
+        if progress is not None:  # mprint hook (lvq_rout.c:570-571)
+            progress(rlen - le)
         s = int(order[le])
         x = data.points[s]
         xm = data.mask[s] if data.mask is not None else None
@@ -339,6 +342,8 @@ def lvq1_train(
         a = talpha[le] if clabels[w] == dlabels[s] else F32(-talpha[le])
         pts[w] = exact.adapt_vector(pts[w], x, a, xm)
         _maybe_snapshot(snapshot, le, codes, pts)
+    if progress is not None:
+        progress(0)
     return replace(codes, points=pts, comments=[])
 
 
@@ -354,6 +359,7 @@ def olvq1_train(
     return_alphas: bool = False,
     n_active: Optional[int] = None,
     snapshot=None,
+    progress=None,
 ):
     """olvq1: per-code adaptive learning rates — correct winner
     α←α/(1+α), wrong winner α←α/(1−α) clipped at the initial α
@@ -392,6 +398,8 @@ def olvq1_train(
         clabels = codes.first_labels()
         dlabels = data.first_labels()
         for le in range(order.shape[0]):
+            if progress is not None:  # mprint hook (lvq_rout.c:676-680)
+                progress(order.shape[0] - le)
             s = int(order[le])
             x = data.points[s]
             xm = data.mask[s] if data.mask is not None else None
@@ -407,6 +415,8 @@ def olvq1_train(
                 na = F32(a / F32(1.0 - a))
                 talpha[w] = min(na, clip)
             _maybe_snapshot(snapshot, le, codes, pts)
+        if progress is not None:
+            progress(0)
         out = replace(codes, points=pts, comments=[])
     if return_alphas:
         return out, talpha
@@ -424,6 +434,7 @@ def _lvq23_train(
     random_order: bool,
     rng: Optional[CRandom],
     snapshot=None,
+    progress=None,
 ) -> Dataset:
     """Shared lvq2.1/lvq3 loop (lvq_rout.c:702-916). epsilon=None → lvq2."""
     order = _train_setup(codes, data, rlen, random_order, rng)
@@ -434,6 +445,8 @@ def _lvq23_train(
     clabels = codes.first_labels()
     dlabels = data.first_labels()
     for le in range(rlen):
+        if progress is not None:
+            progress(rlen - le)
         s = int(order[le])
         x = data.points[s]
         xm = data.mask[s] if data.mask is not None else None
@@ -455,6 +468,8 @@ def _lvq23_train(
                 pts[b] = exact.adapt_vector(pts[b], x, ae, xm)
                 pts[nb] = exact.adapt_vector(pts[nb], x, ae, xm)
         _maybe_snapshot(snapshot, le, codes, pts)
+    if progress is not None:
+        progress(0)
     return replace(codes, points=pts, comments=[])
 
 
@@ -466,19 +481,20 @@ def _maybe_snapshot(snapshot, le, codes_meta, pts):
 
 
 def lvq2_train(codes, data, rlen, alpha, winlen, alpha_type=ALPHA_LINEAR,
-               random_order=False, rng=None, mode="parity", snapshot=None):
+               random_order=False, rng=None, mode="parity", snapshot=None,
+               progress=None):
     """lvq2.1 window-rule training (lvq_rout.c:702-803)."""
     return _lvq23_train(codes, data, rlen, alpha, winlen, None, alpha_type,
-                        random_order, rng, snapshot)
+                        random_order, rng, snapshot, progress)
 
 
 def lvq3_train(codes, data, rlen, alpha, winlen, epsilon,
                alpha_type=ALPHA_LINEAR, random_order=False, rng=None,
-               mode="parity", snapshot=None):
+               mode="parity", snapshot=None, progress=None):
     """lvq3 training: lvq2.1 rule + same-class epsilon pull
     (lvq_rout.c:808-916)."""
     return _lvq23_train(codes, data, rlen, alpha, winlen, epsilon, alpha_type,
-                        random_order, rng, snapshot)
+                        random_order, rng, snapshot, progress)
 
 
 # ---------------------------------------------------------------------------

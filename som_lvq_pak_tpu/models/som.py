@@ -212,6 +212,7 @@ def som_train(
     use_fixed: bool = False,
     mode: str = "parity",
     snapshot=None,
+    progress=None,
 ) -> Dataset:
     """SOM training (som_training, som_rout.c:556-671).
 
@@ -247,7 +248,7 @@ def som_train(
     if mode == "parity":
         new_pts = _som_loop_parity(
             codes.points.copy(), X, M, order, talp, trad, gd, gaussian, fixed_bmu,
-            snapshot=snapshot, codes_meta=codes,
+            snapshot=snapshot, codes_meta=codes, progress=progress,
         )
     elif mode == "fast":
         new_pts = _som_loop_fast(
@@ -259,10 +260,14 @@ def som_train(
 
 
 def _som_loop_parity(
-    codes, X, M, order, talp, trad, gd, gaussian, fixed_bmu, snapshot=None, codes_meta=None
+    codes, X, M, order, talp, trad, gd, gaussian, fixed_bmu, snapshot=None,
+    codes_meta=None, progress=None,
 ):
     noc = codes.shape[0]
-    for le in range(order.shape[0]):
+    rlen = order.shape[0]
+    for le in range(rlen):
+        if progress is not None:  # mprint hook (som_rout.c:660-661)
+            progress(rlen - le)
         s = order[le]
         x = X[s]
         xm = M[s] if M is not None else None
@@ -288,6 +293,8 @@ def _som_loop_parity(
             upd = np.where(xm[None, :] != 0, codes, upd)
         codes = upd.astype(F32)
         _maybe_snapshot(snapshot, le, codes, codes_meta)
+    if progress is not None:
+        progress(0)
     return codes
 
 
