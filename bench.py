@@ -58,7 +58,7 @@ def main():
     m2 = jnp.sum(m * m, axis=-1)
 
     best = 0.0
-    for tile_b, tile_n in ((512, 1024), (1024, 2048)):
+    for tile_b, tile_n in ((512, 4096), (1024, 4096)):
         best = max(best, time_config(tile_b, tile_n, x, m, m2))
 
     print(
