@@ -31,7 +31,7 @@ F32 = np.float32
 # kNN correctness (the eveninit/balance work-horse)
 # ---------------------------------------------------------------------------
 
-def knn_correct_mask(data: Dataset, knn: int) -> np.ndarray:
+def knn_correct_mask(data: Dataset, knn: int, mode: str = "parity") -> np.ndarray:
     """(N,) bool: is entry i correctly classified by kNN majority vote
     against the *whole* data set (itself included, at distance 0)?
 
@@ -43,7 +43,20 @@ def knn_correct_mask(data: Dataset, knn: int) -> np.ndarray:
     """
     if knn < 1:
         knn = 1
-    idx, _ = exact.pairwise_topk(data.points, data.points, knn, data.mask)
+    if mode == "fast":
+        # device-chunked dist-matmul + top-k: same tie order, scales to
+        # millions of vectors (O(chunk*N) peak memory)
+        import jax.numpy as jnp
+
+        from ..ops.distance import chunked_topk
+
+        idx, _ = chunked_topk(
+            jnp.asarray(data.points), jnp.asarray(data.points), knn,
+            None if data.mask is None else jnp.asarray(data.mask),
+        )
+        idx = np.asarray(idx)
+    else:
+        idx, _ = exact.pairwise_topk(data.points, data.points, knn, data.mask)
     labels = data.first_labels()
     neigh_labels = labels[idx]  # (N, knn)
     num = int(labels.max()) + 1

@@ -107,3 +107,44 @@ def topk_winners(
         return idx, jnp.take_along_axis(d, idx, axis=-1)
     negd, idx = jax.lax.top_k(-d, k)
     return idx, -negd
+
+
+@partial(jax.jit, static_argnames=("k", "chunk", "reference_ties", "precision"))
+def chunked_topk(
+    x: jnp.ndarray,
+    codes: jnp.ndarray,
+    k: int,
+    mask: Optional[jnp.ndarray] = None,
+    chunk: int = 4096,
+    reference_ties: bool = True,
+    precision="highest",
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """k-NN over a large query set without materializing the full (B, N)
+    distance matrix: queries stream through in `chunk`-row tiles, each
+    tile runs the dist-matmul + top-k on device (peak memory O(chunk*N)).
+
+    This is the device-scale path for the self-kNN workloads the
+    reference recomputes per pick (eveninit/elimin/knntest/setlabel,
+    O(N^2 dim) scalar loops — eveninit.c:46-158, lvq_rout.c:38-80);
+    results match topk_winners exactly, including the reference
+    (distance asc, index desc) tie order."""
+    B = x.shape[0]
+    nchunks = -(-B // chunk)
+    Bp = nchunks * chunk
+    xp = jnp.zeros((Bp,) + x.shape[1:], dtype=x.dtype).at[:B].set(x)
+    mp = None
+    if mask is not None:
+        mp = jnp.zeros((Bp,) + mask.shape[1:], dtype=mask.dtype).at[:B].set(mask)
+
+    def one(args):
+        xc, mc = args
+        return topk_winners(xc, codes, k, mc, reference_ties=reference_ties,
+                            precision=precision)
+
+    xcs = xp.reshape(nchunks, chunk, -1)
+    mcs = (mp.reshape(nchunks, chunk, -1) if mp is not None
+           else jnp.zeros((nchunks, chunk, 0), dtype=jnp.uint8))
+    idx, val = jax.lax.map(
+        lambda a: one((a[0], a[1] if mask is not None else None)), (xcs, mcs)
+    )
+    return idx.reshape(Bp, k)[:B], val.reshape(Bp, k)[:B]

@@ -1,5 +1,7 @@
 """Fused dist+argmin kernel vs the XLA oracle (CPU interpret mode)."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -38,3 +40,30 @@ def test_unaligned_shapes():
     rval, ridx = dist_argmin_reference(x, m)
     assert (np.asarray(idx) == np.asarray(ridx)).all()
     np.testing.assert_allclose(np.asarray(val), np.asarray(rval), rtol=1e-5, atol=1e-4)
+
+
+def test_chunked_topk_matches_exact(ref_dir):
+    """Device-chunked kNN equals the host oracle incl. the reference
+    (distance asc, index desc) tie order — on real data with ties."""
+    import jax.numpy as jnp
+
+    from som_lvq_pak_tpu.data.io import read_data
+    from som_lvq_pak_tpu.ops import exact
+    from som_lvq_pak_tpu.ops.distance import chunked_topk
+
+    data = read_data(os.path.join(ref_dir, "ex1.dat"))
+    X = data.points[:700]
+    ref_idx, ref_val = exact.pairwise_topk(X, X, 5)
+    idx, val = chunked_topk(jnp.asarray(X), jnp.asarray(X), 5, chunk=256)
+    np.testing.assert_array_equal(np.asarray(idx), ref_idx)
+    np.testing.assert_allclose(np.asarray(val), ref_val, rtol=1e-4, atol=1e-2)
+
+
+def test_knn_correct_mask_fast_matches_parity(ref_dir):
+    from som_lvq_pak_tpu.data.io import read_data
+    from som_lvq_pak_tpu.models.lvq import knn_correct_mask
+
+    data = read_data(os.path.join(ref_dir, "ex1.dat"))
+    a = knn_correct_mask(data, 5, mode="parity")
+    b = knn_correct_mask(data, 5, mode="fast")
+    np.testing.assert_array_equal(a, b)
