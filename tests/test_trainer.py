@@ -1,0 +1,96 @@
+"""Production trainer drivers: quality vs parity, streaming input,
+checkpoint/resume, sharded execution."""
+
+import os
+
+import numpy as np
+import pytest
+
+from som_lvq_pak_tpu.data.dataset import Neighborhood, Topology
+from som_lvq_pak_tpu.data.io import read_data
+from som_lvq_pak_tpu.data.streaming import StreamingReader
+from som_lvq_pak_tpu.models import som
+from som_lvq_pak_tpu.models.trainer import OLVQ1Trainer, SOMTrainer
+from som_lvq_pak_tpu.utils.rng import CRandom
+
+
+@pytest.fixture
+def ex_dat(ref_dir):
+    return read_data(os.path.join(ref_dir, "ex.dat"))
+
+
+def _qerror_per_sample(codes, data):
+    return som.find_qerror(codes, data, mode="fast") / data.n
+
+
+def test_som_trainer_quality(ex_dat):
+    """Minibatch training reaches a quantization error in the same range
+    as the reference pipeline (3.57 per sample on ex.dat)."""
+    init = som.randinit(ex_dat, Topology.HEXA, Neighborhood.BUBBLE, 12, 8,
+                        CRandom(123))
+    q0 = _qerror_per_sample(init, ex_dat)
+    tr = SOMTrainer(init, batch_size=64, update="mean", use_pallas=False, seed=1)
+    out = tr.fit(ex_dat, rlen=11000, alpha=0.05, radius=10.0)
+    q1 = _qerror_per_sample(out, ex_dat)
+    assert q1 < q0 * 0.6
+    assert q1 < 4.6  # parity pipeline reaches 3.571; batch mode close
+
+
+def test_som_trainer_streaming_input(ex_dat, ref_dir):
+    init = som.randinit(ex_dat, Topology.HEXA, Neighborhood.BUBBLE, 8, 6,
+                        CRandom(7))
+    sr = StreamingReader(os.path.join(ref_dir, "ex.dat"), buffer=512)
+    tr = SOMTrainer(init, batch_size=128, update="mean", use_pallas=False)
+    out = tr.fit(sr.chunks(laps=None), rlen=2048, alpha=0.05, radius=6.0)
+    assert _qerror_per_sample(out, ex_dat) < _qerror_per_sample(init, ex_dat)
+
+
+def test_som_trainer_checkpoint_resume(ex_dat, tmp_path):
+    init = som.randinit(ex_dat, Topology.HEXA, Neighborhood.BUBBLE, 6, 4,
+                        CRandom(3))
+    d = str(tmp_path / "ck")
+    tr = SOMTrainer(init, batch_size=128, checkpoint_dir=d,
+                    checkpoint_interval=2, use_pallas=False, seed=5)
+    full = tr.fit(ex_dat, rlen=128 * 8, alpha=0.05, radius=4.0)
+
+    # re-run from the 4-step checkpoint: must reproduce the final map
+    tr2 = SOMTrainer(init, batch_size=128, checkpoint_dir=d,
+                     use_pallas=False, seed=5)
+    st = tr2.ckpt.load(4)
+    assert st is not None and st.step == 4
+    # drop newer checkpoints, then resume
+    for s in tr2.ckpt.steps():
+        if s > 4:
+            os.remove(os.path.join(d, f"step_{s}.npz"))
+    resumed = tr2.fit(ex_dat, rlen=128 * 8, alpha=0.05, radius=4.0, resume=True)
+    np.testing.assert_allclose(resumed.points, full.points, rtol=1e-6, atol=1e-6)
+
+
+def test_olvq1_trainer_improves_accuracy(ref_dir):
+    from som_lvq_pak_tpu.models import eval as ev
+    from som_lvq_pak_tpu.models import lvq
+
+    d1 = read_data(os.path.join(ref_dir, "ex1.dat"))
+    d2 = read_data(os.path.join(ref_dir, "ex2.dat"))
+    codes = lvq.eveninit(d1, noc=200)
+    pct0, _, _ = ev.accuracy(d2, codes)
+    tr = OLVQ1Trainer(codes, batch_size=32, use_pallas=False, seed=2)
+    out = tr.fit(d1, rlen=5000)
+    pct1, _, _ = ev.accuracy(d2, out)
+    assert pct1 > pct0 - 0.5  # batch olvq1 must not degrade the init
+    assert pct1 > 85.0
+
+
+def test_som_trainer_sharded(ex_dat):
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from som_lvq_pak_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(8)
+    init = som.randinit(ex_dat, Topology.HEXA, Neighborhood.BUBBLE, 8, 4,
+                        CRandom(11))
+    tr = SOMTrainer(init, batch_size=64, mesh=mesh, use_pallas=False, seed=4)
+    out = tr.fit(ex_dat, rlen=1024, alpha=0.05, radius=4.0)
+    assert _qerror_per_sample(out, ex_dat) < _qerror_per_sample(init, ex_dat)
