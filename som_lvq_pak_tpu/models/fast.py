@@ -142,6 +142,86 @@ def olvq1_batch_step(
     return codes + upd, new_a
 
 
+@functools.partial(jax.jit, static_argnames=("use_pallas",))
+def lvq1_batch_step(
+    codes: jnp.ndarray,
+    code_labels: jnp.ndarray,
+    xb: jnp.ndarray,
+    xlabels: jnp.ndarray,
+    alpha,
+    use_pallas: bool = True,
+) -> jnp.ndarray:
+    """One minibatch lvq1 step: signed segment-sum toward/away from the
+    winner (lvq1_training, lvq_rout.c:498-577 batched)."""
+    if use_pallas:
+        from ..ops.pallas_distance import dist_argmin
+
+        _, bmu = dist_argmin(xb, codes)
+    else:
+        from ..ops.distance import find_winners
+
+        bmu, _ = find_winners(xb, codes)
+    noc = codes.shape[0]
+    correct = code_labels[bmu] == xlabels
+    sign = jnp.where(correct, alpha, -alpha)
+    delta = sign[:, None] * (xb - codes[bmu])
+    return codes + jax.ops.segment_sum(delta, bmu, num_segments=noc)
+
+
+@functools.partial(jax.jit, static_argnames=("lvq3", "use_pallas"))
+def lvq23_batch_step(
+    codes: jnp.ndarray,
+    code_labels: jnp.ndarray,
+    xb: jnp.ndarray,
+    xlabels: jnp.ndarray,
+    alpha,
+    winlen,
+    epsilon=0.0,
+    lvq3: bool = False,
+    use_pallas: bool = True,
+) -> jnp.ndarray:
+    """One minibatch lvq2.1/lvq3 step: fused top-2 winner search, the
+    window predicate d1/d2 > (1-w)/(1+w), and the signed pair update
+    (lvq_rout.c:702-916 batched).  lvq3 adds the same-class epsilon pull."""
+    if use_pallas:
+        from ..ops.pallas_distance import dist_top2
+
+        d1, i1, d2, i2 = dist_top2(xb, codes)
+    else:
+        from ..ops.distance import topk_winners
+
+        idx, vals = topk_winners(xb, codes, 2)
+        i1, i2 = idx[:, 0], idx[:, 1]
+        d1, d2 = vals[:, 0], vals[:, 1]
+    noc = codes.shape[0]
+    l1, l2 = code_labels[i1], code_labels[i2]
+    wl = (1.0 - winlen) / (1.0 + winlen)
+    in_window = d1 / jnp.maximum(d2, 1e-30) > wl
+
+    differ = l1 != l2
+    one_matches = (l1 == xlabels) | (l2 == xlabels)
+    window_rule = differ & one_matches & in_window
+    # orient: b = the code matching the sample's label
+    swap = l2 == xlabels
+    b_idx = jnp.where(swap, i2, i1)
+    nb_idx = jnp.where(swap, i1, i2)
+    a_b = jnp.where(window_rule, alpha, 0.0)
+    delta = jax.ops.segment_sum(
+        a_b[:, None] * (xb - codes[b_idx]), b_idx, num_segments=noc
+    ) + jax.ops.segment_sum(
+        -a_b[:, None] * (xb - codes[nb_idx]), nb_idx, num_segments=noc
+    )
+    if lvq3:
+        same = (l1 == l2) & (l1 == xlabels)
+        ae = jnp.where(same, alpha * epsilon, 0.0)
+        delta = delta + jax.ops.segment_sum(
+            ae[:, None] * (xb - codes[i1]), i1, num_segments=noc
+        ) + jax.ops.segment_sum(
+            ae[:, None] * (xb - codes[i2]), i2, num_segments=noc
+        )
+    return codes + delta
+
+
 def som_train_fast(
     codes: Dataset,
     data: Dataset,

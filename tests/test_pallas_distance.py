@@ -67,3 +67,46 @@ def test_knn_correct_mask_fast_matches_parity(ref_dir):
     a = knn_correct_mask(data, 5, mode="parity")
     b = knn_correct_mask(data, 5, mode="fast")
     np.testing.assert_array_equal(a, b)
+
+
+def test_dist_top2_matches_oracle():
+    from som_lvq_pak_tpu.ops.distance import topk_winners
+    from som_lvq_pak_tpu.ops.pallas_distance import dist_top2
+
+    for B, N, D in ((64, 96, 5), (128, 1024, 20), (200, 700, 33)):
+        k1, k2 = jax.random.split(jax.random.PRNGKey(B))
+        x = jax.random.normal(k1, (B, D), dtype=jnp.float32) * 10
+        m = jax.random.normal(k2, (N, D), dtype=jnp.float32) * 10
+        d1, i1, d2, i2 = dist_top2(x, m, tile_b=64, tile_n=256)
+        ridx, rval = topk_winners(x, m, 2)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(ridx[:, 0]))
+        np.testing.assert_array_equal(np.asarray(i2), np.asarray(ridx[:, 1]))
+        np.testing.assert_allclose(np.asarray(d1), np.asarray(rval[:, 0]),
+                                   rtol=1e-4, atol=1e-2)
+        np.testing.assert_allclose(np.asarray(d2), np.asarray(rval[:, 1]),
+                                   rtol=1e-4, atol=1e-2)
+
+
+def test_lvq23_batch_step_improves():
+    """Batch lvq2 on a separable mixture should not corrupt the codes and
+    the window rule must leave out-of-window samples untouched."""
+    from som_lvq_pak_tpu.models.fast import lvq23_batch_step
+
+    key = jax.random.PRNGKey(0)
+    k1, k2 = jax.random.split(key)
+    # two classes at +-3 with 2 codes each
+    codes = jnp.asarray([[-3.0, 0], [-2.5, 0], [2.5, 0], [3.0, 0]], dtype=jnp.float32)
+    clabels = jnp.asarray([1, 1, 2, 2])
+    xb = jnp.concatenate([
+        jax.random.normal(k1, (64, 2)) * 0.5 - jnp.asarray([3.0, 0]),
+        jax.random.normal(k2, (64, 2)) * 0.5 + jnp.asarray([3.0, 0]),
+    ])
+    xl = jnp.concatenate([jnp.full(64, 1), jnp.full(64, 2)])
+    out = lvq23_batch_step(codes, clabels, xb, xl, 0.03, 0.3, use_pallas=False)
+    assert np.isfinite(np.asarray(out)).all()
+    # class means must stay on their own side
+    assert np.asarray(out)[:2, 0].mean() < 0 < np.asarray(out)[2:, 0].mean()
+
+    out3 = lvq23_batch_step(codes, clabels, xb, xl, 0.03, 0.3, 0.1,
+                            lvq3=True, use_pallas=False)
+    assert np.isfinite(np.asarray(out3)).all()
