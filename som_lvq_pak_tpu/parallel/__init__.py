@@ -1,4 +1,4 @@
-from .mesh import make_mesh
+from .mesh import class_blocked_order, initialize_distributed, make_mesh
 from .sharded import (
     dim_sharded_winner_search,
     make_dim_sharded_winner,
@@ -11,6 +11,8 @@ from .sharded import (
 
 __all__ = [
     "make_mesh",
+    "initialize_distributed",
+    "class_blocked_order",
     "sharded_som_step",
     "sharded_winner_search",
     "sharded_olvq1_step",

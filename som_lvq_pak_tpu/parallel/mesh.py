@@ -46,6 +46,46 @@ def make_mesh(
     return Mesh(arr, axis_names=("data", "model"))
 
 
+def initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Multi-host bring-up: wraps jax.distributed.initialize (no-op when
+    already initialized or running single-process).  On TPU pods the
+    arguments are discovered from the environment; pass them explicitly
+    on other platforms.  After this, jax.devices() spans all hosts and
+    make_mesh() lays the (data, model) axes over the global device set —
+    shardings are laid out so the model-axis winner gather rides ICI
+    within a slice while host data loading distributes over DCN."""
+    import jax
+
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except (RuntimeError, ValueError):
+        # already initialized, or single-process run
+        pass
+
+
+def class_blocked_order(labels) -> "np.ndarray":
+    """Permutation putting same-class codebook rows in contiguous blocks
+    — the expert-parallel analogue (SURVEY.md §2.6): with the codebook
+    sharded by rows over the model axis, a class-blocked layout lands
+    each class's codes on as few shards as possible, so per-class
+    workloads (LVQ updates, class statistics) touch fewer shards and the
+    balance/eveninit quota logic stays shard-local.
+
+    Returns indices such that codes.take(order) is class-blocked; a
+    stable sort keeps the within-class (file) order the quota rules
+    depend on."""
+    labels = np.asarray(labels)
+    return np.argsort(labels, kind="stable")
+
+
 def _factor(n: int) -> Tuple[int, int]:
     """(data, model) with model the larger power-of-2-ish factor."""
     data = 1

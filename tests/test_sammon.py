@@ -63,3 +63,20 @@ def test_mapping_error_decreases(golden_dir):
     rng2.init_random(3)
     p50, _ = sammon(codes, length=50, rng=rng2)
     assert mapping_error(p50, dmat) < mapping_error(p10, dmat)
+
+
+def test_sammon_fast_quality(golden_dir):
+    """The device-vectorized iteration reaches a mapping error in the
+    same range as the parity path on the trained map."""
+    from som_lvq_pak_tpu.models.sammon import sammon_fast
+
+    codes = read_data(os.path.join(golden_dir, "som_2.cod"))
+    rng = CRandom()
+    rng.init_random(3)
+    proj_ref, dd = sammon(codes, length=50, rng=rng)
+    proj_fast, _ = sammon_fast(codes, length=50, seed=3)
+    dmat = exact.pairwise_dist_euc(dd.points, dd.points)
+    e_ref = mapping_error(proj_ref, dmat)
+    e_fast = mapping_error(proj_fast, dmat)
+    assert e_fast < e_ref * 1.5
+    assert np.isfinite(proj_fast.points).all()
