@@ -88,6 +88,14 @@ def som_batch_step(
         from ..ops.pallas_distance import dist_argmin
 
         _, bmu = dist_argmin(xb, codes)
+        if update == "sum":
+            # fully fused path: the (B, noc) weight matrix never exists
+            from ..ops.pallas_som import som_neighborhood_update
+
+            return som_neighborhood_update(
+                codes, xb, coords[bmu], coords, alpha, radius,
+                gaussian=gaussian,
+            )
     else:
         from ..ops.distance import find_winners
 

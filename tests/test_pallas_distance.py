@@ -110,3 +110,27 @@ def test_lvq23_batch_step_improves():
     out3 = lvq23_batch_step(codes, clabels, xb, xl, 0.03, 0.3, 0.1,
                             lvq3=True, use_pallas=False)
     assert np.isfinite(np.asarray(out3)).all()
+
+
+def test_som_neighborhood_update_matches_xla():
+    from som_lvq_pak_tpu.models.fast import neighborhood_matrix, unit_coords
+    from som_lvq_pak_tpu.ops.pallas_som import som_neighborhood_update
+
+    for gaussian in (False, True):
+        for (B, xdim, ydim, D) in ((64, 16, 8, 5), (100, 20, 10, 33)):
+            noc = xdim * ydim
+            k1, k2, k3 = jax.random.split(jax.random.PRNGKey(B + gaussian), 3)
+            codes = jax.random.normal(k1, (noc, D), dtype=jnp.float32)
+            xb = jax.random.normal(k2, (B, D), dtype=jnp.float32) * 2
+            bmu = jax.random.randint(k3, (B,), 0, noc)
+            coords = unit_coords(xdim, ydim, hexa=True)
+            W = neighborhood_matrix(coords, bmu, 2.5, 0.05, gaussian)
+            wx = W.T @ xb
+            wsum = W.sum(axis=0)[:, None]
+            ref = codes + (wx - wsum * codes)
+            out = som_neighborhood_update(
+                codes, xb, coords[bmu], coords, 0.05, 2.5,
+                gaussian=gaussian, tile_b=32, tile_n=64,
+            )
+            np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                       rtol=1e-5, atol=1e-5)
