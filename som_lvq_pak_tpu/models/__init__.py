@@ -11,6 +11,16 @@ from .lvq import (
     deviations,
 )
 from .eval import accuracy, classify, confusion_matrix, knn_accuracy, mcnemar
+from .fast import (
+    lvq1_batch_step,
+    lvq23_batch_step,
+    olvq1_batch_step,
+    som_batch_step,
+    unit_coords,
+)
+from .sammon import mapping_error, remove_identicals, sammon, sammon_fast
+from .trainer import OLVQ1Trainer, SOMTrainer
+from .umatrix import average_umatrix, calc_umatrix, median_umatrix
 
 __all__ = [
     "randinit",
@@ -32,4 +42,18 @@ __all__ = [
     "confusion_matrix",
     "knn_accuracy",
     "mcnemar",
+    "som_batch_step",
+    "olvq1_batch_step",
+    "lvq1_batch_step",
+    "lvq23_batch_step",
+    "unit_coords",
+    "sammon",
+    "sammon_fast",
+    "mapping_error",
+    "remove_identicals",
+    "calc_umatrix",
+    "average_umatrix",
+    "median_umatrix",
+    "SOMTrainer",
+    "OLVQ1Trainer",
 ]
