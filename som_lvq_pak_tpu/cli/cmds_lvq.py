@@ -143,12 +143,14 @@ def cmd_eveninit(scanner: ArgScanner, progname: str) -> int:
     prop = 1 if progname == "propinit" else (0 if progname == "eveninit" else -1)
     pname = scanner.get("-type", ALWAYS if prop < 0 else OPTION)
     if pname is not None:
-        if pname == "even":
-            prop = 0
-        elif pname == "prop":
+        # reference accepts "propinit"/"eveninit" case-insensitively and
+        # silently ignores other values (eveninit.c:186-199)
+        if pname.lower() == "propinit":
             prop = 1
-        else:
-            err("unknown init type")
+        elif pname.lower() == "eveninit":
+            prop = 0
+    if prop < 0:
+        err("unknown init type")
     in_data_file = scanner.get("-din", ALWAYS)
     out_code_file = scanner.get("-cout", ALWAYS)
     noc = scanner.get_int("-noc", 0, ALWAYS)

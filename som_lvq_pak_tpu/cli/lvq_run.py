@@ -169,6 +169,10 @@ class Pipeline:
         if c.lvq_status >= INIT:
             return
         self.out.write("\nRunning initialization: %d\n" % c.init_opt)
+        if c.init_opt not in (EVEN, PROP):
+            # lvq_run.c:775-778
+            self.out.write("\nIllegal initializing option %d\n" % c.init_opt)
+            raise SystemExit(255)
         tool = "eveninit" if c.init_opt == EVEN else "propinit"
         self.run_tool(c, tool, "-noc", c.noc, "-din", c.din,
                       "-cout", c.cout + INIT_EXT, "-knn", 5)
@@ -608,12 +612,16 @@ def _ask_balance() -> bool:
 def _pick_index(prompt: str, nocl: int) -> int:
     if nocl == 1:
         return 1
-    sys.stdout.write("\n%s [1..%d]: " % (prompt, nocl))
-    l = _getsb()
-    try:
-        return int(l.split()[0])
-    except (ValueError, IndexError):
-        return 1
+    while True:
+        sys.stdout.write("\n%s [1..%d]: " % (prompt, nocl))
+        l = _getsb()
+        try:
+            i = int(l.split()[0])
+        except (ValueError, IndexError):
+            return 1
+        if 1 <= i <= nocl:
+            return i
+        sys.stdout.write("\nNo such classifier %d!" % i)
 
 
 def main(argv: Optional[List[str]] = None) -> int:
@@ -626,9 +634,17 @@ def main(argv: Optional[List[str]] = None) -> int:
     sys.stdout.write("\nPress enter to continue.")
     _getsb()
 
-    for a in argv:
-        if a.startswith("-"):
-            continue
+    # flags consume their value too (retrieve_classifiers' `else i++`,
+    # lvq_run.c:738-748)
+    names = []
+    i = 0
+    while i < len(argv):
+        if argv[i].startswith("-"):
+            i += 2
+        else:
+            names.append(argv[i])
+            i += 1
+    for a in names:
         if not os.path.exists(a + LOG_EXT):
             sys.stdout.write("\nERROR: cannot find classifier %s!\n" % (a + LOG_EXT))
             continue

@@ -142,11 +142,14 @@ def olvq1_batch_step(
     ncorrect = jax.ops.segment_sum(correct.astype(jnp.float32), bmu, num_segments=noc)
     nwrong = jax.ops.segment_sum((~correct).astype(jnp.float32), bmu, num_segments=noc)
     # apply the alpha recurrences once per hit: a/(1+a) applied k times
-    # equals a/(1+k a); a/(1-a) likewise with clipping
+    # equals a/(1+k a); a/(1-a) likewise, but its closed form blows up
+    # when k*a >= 1 — the sequential reference clips after EVERY sample
+    # (lvq_rout.c:668-672) so alpha stays in (0, clip]; saturate to clip
+    # whenever the batched denominator leaves that regime
     new_a = alphas / (1.0 + ncorrect * alphas)
-    new_a = jnp.where(
-        nwrong > 0, jnp.minimum(new_a / (1.0 - nwrong * new_a), clip), new_a
-    )
+    denom = 1.0 - nwrong * new_a
+    grown = jnp.where(denom > 1e-6, new_a / jnp.where(denom > 1e-6, denom, 1.0), clip)
+    new_a = jnp.where(nwrong > 0, jnp.minimum(grown, clip), new_a)
     return codes + upd, new_a
 
 

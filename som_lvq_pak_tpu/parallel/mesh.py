@@ -38,8 +38,12 @@ def make_mesh(
     if n_devices is None:
         n_devices = len(devices)
     devices = list(devices)[:n_devices]
-    if data is None or model is None:
+    if data is None and model is None:
         data, model = _factor(n_devices)
+    elif data is None:
+        data = n_devices // model
+    elif model is None:
+        model = n_devices // data
     if data * model != n_devices:
         raise ValueError(f"mesh {data}x{model} != {n_devices} devices")
     arr = np.asarray(devices).reshape(data, model)
@@ -66,9 +70,12 @@ def initialize_distributed(
             num_processes=num_processes,
             process_id=process_id,
         )
-    except (RuntimeError, ValueError):
-        # already initialized, or single-process run
-        pass
+    except RuntimeError as e:
+        # suppress only the benign re-initialization case; real
+        # misconfiguration (bad coordinator, inconsistent process ids)
+        # must surface or the mesh silently spans one host
+        if "already" not in str(e).lower():
+            raise
 
 
 def class_blocked_order(labels) -> "np.ndarray":

@@ -28,8 +28,6 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..models.fast import neighborhood_matrix
-
 
 def _local_winner(xb, codes_local, use_pallas):
     if use_pallas:
@@ -133,10 +131,12 @@ def sharded_olvq1_step(
         jax.ops.segment_sum((~correct).astype(jnp.float32), gidx, num_segments=noc),
         "data",
     )
+    # saturating alpha growth — see models.fast.olvq1_batch_step: the
+    # closed form a/(1-k a) blows up when k*a >= 1, so clip-saturate
     new_a = alphas_full / (1.0 + ncorrect * alphas_full)
-    new_a = jnp.where(
-        nwrong > 0, jnp.minimum(new_a / (1.0 - nwrong * new_a), clip), new_a
-    )
+    denom = 1.0 - nwrong * new_a
+    grown = jnp.where(denom > 1e-6, new_a / jnp.where(denom > 1e-6, denom, 1.0), clip)
+    new_a = jnp.where(nwrong > 0, jnp.minimum(grown, clip), new_a)
     return codes_local + delta, new_a
 
 

@@ -51,6 +51,7 @@ class Checkpointer:
         self.keep = keep
         self.background = background
         self._thread: Optional[threading.Thread] = None
+        self._thread_exc: Optional[BaseException] = None
         os.makedirs(directory, exist_ok=True)
 
     # -- write ----------------------------------------------------------
@@ -76,9 +77,14 @@ class Checkpointer:
 
         if self.background:
             self.wait()
-            self._thread = threading.Thread(
-                target=self._write, args=(path, payload), daemon=True
-            )
+
+            def writer():
+                try:
+                    self._write(path, payload)
+                except BaseException as e:  # surfaced by the next wait()
+                    self._thread_exc = e
+
+            self._thread = threading.Thread(target=writer, daemon=True)
             self._thread.start()
         else:
             self._write(path, payload)
@@ -97,10 +103,16 @@ class Checkpointer:
         self._gc()
 
     def wait(self) -> None:
-        """Join any pending background write (waitpid analogue)."""
+        """Join any pending background write (waitpid analogue); a write
+        failure on the worker thread re-raises here so a disk-full
+        checkpoint is never silently 'saved'."""
         if self._thread is not None:
             self._thread.join()
             self._thread = None
+        if self._thread_exc is not None:
+            exc = self._thread_exc
+            self._thread_exc = None
+            raise exc
 
     def _gc(self) -> None:
         if self.keep <= 0:

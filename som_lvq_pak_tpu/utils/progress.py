@@ -32,7 +32,7 @@ class Mprint:
             self.stream.write(" " * 15 + "-" * 60)
         if currt != self.prevt or not rlen:
             t1 = currt - self.startt
-            if rlen != self.totlen and self.totlen != rlen:
+            if rlen != self.totlen:
                 t2 = int((currt - self.startt) * float(self.totlen) / (self.totlen - rlen))
             else:
                 t2 = 0

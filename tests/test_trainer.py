@@ -94,3 +94,23 @@ def test_som_trainer_sharded(ex_dat):
     tr = SOMTrainer(init, batch_size=64, mesh=mesh, use_pallas=False, seed=4)
     out = tr.fit(ex_dat, rlen=1024, alpha=0.05, radius=4.0)
     assert _qerror_per_sample(out, ex_dat) < _qerror_per_sample(init, ex_dat)
+
+
+def test_olvq1_batch_alpha_saturates():
+    """Many wrong hits on one code in a single batch must saturate its
+    learning rate at the clip, never go negative (the sequential
+    reference clips after every sample, lvq_rout.c:668-672)."""
+    import jax.numpy as jnp
+
+    from som_lvq_pak_tpu.models.fast import olvq1_batch_step
+
+    codes = jnp.asarray([[0.0, 0.0], [10.0, 10.0]], dtype=jnp.float32)
+    clabels = jnp.asarray([1, 2])
+    alphas = jnp.asarray([0.3, 0.3], dtype=jnp.float32)
+    # 8 samples, all winning code 0, all labeled wrong
+    xb = jnp.tile(jnp.asarray([[0.1, 0.1]], dtype=jnp.float32), (8, 1))
+    xl = jnp.full((8,), 2)
+    _, new_a = olvq1_batch_step(codes, clabels, alphas, xb, xl,
+                                clip=0.3, use_pallas=False)
+    a = np.asarray(new_a)
+    assert (a > 0).all() and (a <= 0.3 + 1e-6).all(), a
