@@ -12,11 +12,11 @@ work) but noc is small for visualization, so parity is the default.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 
-from ..data.dataset import Dataset, Topology
+from ..data.dataset import Dataset
 from ..ops import exact
 from ..utils.rng import CRandom
 

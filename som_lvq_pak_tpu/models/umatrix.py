@@ -4,16 +4,20 @@ The U-matrix lives on a (2x-1) x (2y-1) grid: odd positions hold
 inter-unit distances (neighbor geometry differs for rect/hexa lattices),
 even positions (the units themselves) get the median of their
 surrounding values, and everything is scaled to [0,1] *inverted*
-(1 = close/white).  All arithmetic is double with float32 storage, like
-the C code.
+(1 = close/white).  Component differences round to float32 before
+squaring (C: float-float subtraction assigned to double, map.c:141);
+squares accumulate left-to-right in double, like the C code.
+
+Degenerate 1-row/1-column maps: the reference's unit-cell fill reads
+past its array there (heap garbage in the output); we use only the
+in-bounds neighbors instead.
 
 Arrays here are indexed [x][y] matching the reference's uvalue layout.
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import Optional
+from dataclasses import dataclass
 
 import numpy as np
 
@@ -48,12 +52,6 @@ class UMatrix:
         return Topology(self.codes.topol)
 
 
-def _unit(codes: Dataset, i: int, j: int) -> np.ndarray:
-    """Map unit weight vector at grid position (i, j) — file order is
-    row-major with x fastest (map.c:63-70)."""
-    return codes.points[j * codes.xdim + i].astype(np.float64)
-
-
 def calc_umatrix(codes: Dataset, xswap: bool = False, yswap: bool = False) -> UMatrix:
     """calc_umatrix (map.c:130-500)."""
     if not codes.is_map:
@@ -61,10 +59,16 @@ def calc_umatrix(codes: Dataset, xswap: bool = False, yswap: bool = False) -> UM
     mx, my = codes.xdim, codes.ydim
     ux, uy = 2 * mx - 1, 2 * my - 1
     u = np.zeros((ux, uy), dtype=F32)
-    M = codes.points.astype(np.float64).reshape(my, mx, codes.dim)
+    M = codes.points.reshape(my, mx, codes.dim)  # float32, file order
 
     def d(a, b):
-        return float(np.sum((a - b) ** 2))
+        # C: double temp = (float)a - (float)b (float32 subtraction),
+        # dist += temp*temp accumulated left-to-right in double
+        diff = (a - b).astype(np.float64)
+        total = 0.0
+        for t in diff:
+            total += t * t
+        return total
 
     if codes.topol == Topology.RECT:
         for j in range(my):
@@ -107,7 +111,13 @@ def calc_umatrix(codes: Dataset, xswap: bool = False, yswap: bool = False) -> UM
 
     mx_, mn_ = float(u.max()), float(u.min())
     bw = mx_ - mn_
-    u = (1.0 - (u.astype(np.float64) - mn_) / bw).astype(F32)
+    if bw == 0.0:
+        # flat map: every inter-unit distance equal.  The reference
+        # divides 0/0 here (NaN cells rendered as garbage ints); treat
+        # a flat map as uniformly close instead.
+        u = np.ones_like(u)
+    else:
+        u = (1.0 - (u.astype(np.float64) - mn_) / bw).astype(F32)
     return UMatrix(codes=codes, uvalue=u)
 
 
@@ -120,6 +130,23 @@ def _fill_unit_cells(u: np.ndarray, ux: int, uy: int, topol: Topology) -> None:
     """Unit cells = median (or corner mean) of surrounding inter-unit
     values (map.c:271-466).  Reads only odd positions, so order-free."""
     src = u  # neighbors read are never unit cells, no copy needed
+    if ux < 3 or uy < 3:
+        # 1-row / 1-column map: the reference's edge branches index past
+        # the array here (undefined behavior); use the in-bounds
+        # 4-neighborhood instead
+        for j in range(0, uy, 2):
+            for i in range(0, ux, 2):
+                vals = [
+                    float(src[a, b])
+                    for a, b in ((i - 1, j), (i + 1, j), (i, j - 1), (i, j + 1))
+                    if 0 <= a < ux and 0 <= b < uy
+                ]
+                if not vals:
+                    continue
+                m = sorted(vals)
+                n = len(m)
+                u[i, j] = F32(m[n // 2] if n % 2 else (m[n // 2 - 1] + m[n // 2]) / 2.0)
+        return
     if topol == Topology.RECT:
         for j in range(0, uy, 2):
             for i in range(0, ux, 2):

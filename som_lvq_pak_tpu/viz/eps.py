@@ -12,7 +12,7 @@ from typing import Optional, TextIO
 
 import numpy as np
 
-from ..data.dataset import Dataset, Topology
+from ..data.dataset import Dataset
 from ..data.labels import GLOBAL_LABELS, LabelTable
 
 F32 = np.float32
@@ -76,7 +76,7 @@ def sammon_eps(
     else:
         L.append("%!PS-Adobe-2.0 EPSF-2.0")
         L.append("%%Title: undefined\n%%Creator: sammon")
-        L.append("%%BoundingBox: 0 0 %f %f" % (F32(xma - xmi), F32(yma - ymi)))
+        L.append("%%%%BoundingBox: 0 0 %f %f" % (F32(xma - xmi), F32(yma - ymi)))
         L.append("%%Pages: 0\n%%EndComments")
         L.append("/gscale %f def" % frac)
     L.append("/Helvetica findfont 12 gscale div scalefont setfont")

@@ -13,11 +13,11 @@ from __future__ import annotations
 import math
 import os
 import time
-from typing import List, Optional, TextIO
+from typing import Optional, TextIO
 
 import numpy as np
 
-from ..data.dataset import Dataset, Neighborhood, Topology
+from ..data.dataset import Neighborhood, Topology
 from ..data.labels import GLOBAL_LABELS, LabelTable
 from ..models.umatrix import UMatrix
 from .eps import ps_string_filter
@@ -43,8 +43,9 @@ PROLOG = r"""%
 /bt 0.0 def /wt 1.0 def
 /ballrad 0.2 def
 /curx 0 def
-/swapx { } def
-/swapy { } def
+% mirror the picture: negate the step and reflect the origin
+/swapx { /xstep xstep neg def /xoffset picwidth xoffset sub def } def
+/swapy { /ystep ystep neg def /yoffset picheight yoffset sub def } def
 /selfont { fontname findfont fontsize 0 gt { fontsize radius mul }
            { radius 1.2 mul } ifelse scalefont setfont } def
 % map a 0..100 color through the black/white thresholds to a gray level
@@ -80,19 +81,22 @@ PROLOG = r"""%
      /curx curx xstep add def } def
 % ink: black on light cells, white on dark cells
 /ink { graylevel 0.5 lt { 1 } { 0 } ifelse setgray } def
+% label operators advance TWO xsteps: the label stream walks the map
+% grid (mxdim columns) over the (2x-1)-wide umatrix cell grid, so
+% consecutive units sit two u-cells apart (reference header.ps LN/LAB/ML)
 % marker ball for an unlabeled unit
 /LN { ink newpath curx yoff radius ballrad mul 0 360 arc fill
-      /curx curx xstep add def } def
+      /curx curx xstep 2 mul add def } def
 % single label centered on the unit: (label) color LAB
 /LAB { ink curx yoff moveto
        dup stringwidth pop -2 div 0 rmoveto show
-       /curx curx xstep add def } def
+       /curx curx xstep 2 mul add def } def
 % stacked labels: (l1) .. (ln) n color ML
 /ML { ink /mln exch def
       0 1 mln 1 sub { /mli exch def
         curx yoff ystep 4 div mli mul sub moveto
         dup stringwidth pop -2 div 0 rmoveto show } for
-      /curx curx xstep add def } def
+      /curx curx xstep 2 mul add def } def
 """
 
 def image_size(um: UMatrix, width: int = 0) -> dict:
@@ -188,12 +192,16 @@ def print_eps(
         w("swapy\n")
     w("/y 0 def\n/xoff xoffset def\n/yoff yoffset def\n")
 
+    def cell(v) -> int:
+        # NaN-safe (a custom prolog/headerfile path could feed NaN)
+        return int(100 * v) if np.isfinite(v) else 0
+
     u = um.uvalue
     if drawblocks:
         for y in range(um.uydim):
             w("%s " % start_row_s)
             for x in range(um.uxdim):
-                w("%d %s " % (int(100 * u[x, y]), draw_block_s))
+                w("%d %s " % (cell(u[x, y]), draw_block_s))
             w("NL\n")
 
     w("/y 0 def\n/xoff xoffset def\n/yoff yoffset def\n")
@@ -206,17 +214,17 @@ def print_eps(
                 unit = y * um.mxdim + x
                 row = clabels[unit] if clabels is not None else np.zeros(1, dtype=np.int32)
                 labs = [int(l) for l in row if l != 0]
-                color = 100.0 if not drawblocks else u[2 * x, 2 * y] * 100
+                color = 100 if not drawblocks else cell(u[2 * x, 2 * y])
                 if labs:
                     if len(labs) == 1:
                         w("(%s) %d LAB " % (
-                            ps_string_filter(table.to_label(labs[0])), int(color)))
+                            ps_string_filter(table.to_label(labs[0])), color))
                     else:
                         for lab in labs:
                             w("(%s) " % ps_string_filter(table.to_label(lab)))
-                        w("%d %d ML " % (len(labs), int(color)))
+                        w("%d %d ML " % (len(labs), color))
                 else:
-                    w("%d LN " % int(color))
+                    w("%d LN " % color)
             w("NL NL\n")
     w("end\n")
     w("% end of EPS object\n")
