@@ -37,14 +37,24 @@ class StreamingReader:
         labels: Optional[LabelTable] = None,
         skip_empty: bool = True,
         prefetch: int = 2,
+        shard: Optional[tuple] = None,
     ):
+        """`shard=(k, n)` keeps only every n-th entry starting at k — the
+        multi-host data-parallel split: each host streams its own 1/n of
+        the file over DCN-attached storage (host k of n passes
+        shard=(jax.process_index(), jax.process_count()))."""
         if buffer <= 0:
             raise ValueError("buffer must be positive")
+        if shard is not None:
+            k, n = shard
+            if not (0 <= k < n):
+                raise ValueError(f"bad shard {shard}")
         self.name = name
         self.buffer = buffer
         self.labels = labels if labels is not None else GLOBAL_LABELS
         self.skip_empty = skip_empty
         self.prefetch = prefetch
+        self.shard = shard
         # parse the header once up front
         f = _open_read(name)
         try:
@@ -83,10 +93,16 @@ class StreamingReader:
                     continue
                 break
             lines: List[str] = []
+            row = 0
+            k, n = self.shard if self.shard is not None else (0, 1)
             for raw in f:
                 if raw.startswith("#"):
                     continue
                 if not raw.strip():
+                    continue
+                keep = row % n == k
+                row += 1
+                if not keep:
                     continue
                 lines.append(raw)
                 if len(lines) >= self.buffer:

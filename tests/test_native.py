@@ -115,3 +115,20 @@ def test_streaming_reader_gzip(ref_dir, tmp_path):
     assert sum(c.n for c in chunks) == full.n
     pts = np.concatenate([c.points for c in chunks])
     assert (pts == full.points).all()
+
+
+def test_streaming_reader_sharded(ref_dir):
+    """shard=(k, n) splits entries round-robin across hosts with no
+    overlap and full coverage."""
+    GLOBAL_LABELS.reset()
+    full = read_data(os.path.join(ref_dir, "ex1.dat"))
+    parts = []
+    for k in range(3):
+        GLOBAL_LABELS.reset()
+        sr = StreamingReader(os.path.join(ref_dir, "ex1.dat"), buffer=200,
+                             shard=(k, 3))
+        parts.append(np.concatenate([c.points for c in sr]))
+    assert sum(len(p) for p in parts) == full.n
+    assert (parts[0][0] == full.points[0]).all()
+    assert (parts[1][0] == full.points[1]).all()
+    assert (parts[2][0] == full.points[2]).all()
