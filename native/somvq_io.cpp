@@ -163,7 +163,7 @@ int svq_parse_buffer(char* buf, int64_t len, const char* mask_str,
       mask.resize(row0);
       continue;
     }
-    float w = 1.0f;
+    float w = 0.0f;  // no weight= token => 0 sentinel (datafile.c:497)
     int32_t fx = -1, fy = -1;
     int nlabs = 0;
     for (int i = dim; i < nt; ++i) {

@@ -68,6 +68,7 @@ def cmd_lvqtrain(scanner: ArgScanner, progname: str) -> int:
     rlen = scanner.get_int("-rlen", 0, ALWAYS)
     rng, random_order = get_rand(scanner)
     alpha_type = get_alpha_type(scanner)
+    buffer = scanner.get_int("-buffer", 0, OPTION)
     snapshot = get_snapshot_opts(scanner, out_code_file, rlen)
 
     # per-type required flags (lvqtrain.c:144-162)
@@ -100,7 +101,7 @@ def cmd_lvqtrain(scanner: ArgScanner, progname: str) -> int:
             out = lvq.lvq1_train(
                 codes, data, rlen, alpha, alpha_type=alpha_type,
                 random_order=random_order, rng=rng, snapshot=snapshot,
-                progress=progress,
+                progress=progress, buffer=buffer,
             )
         elif lvqtype == "olvq1":
             init_alphas = None
@@ -109,20 +110,20 @@ def cmd_lvqtrain(scanner: ArgScanner, progname: str) -> int:
             out, alphas = lvq.olvq1_train(
                 codes, data, rlen, alpha, init_alphas=init_alphas,
                 random_order=random_order, rng=rng, return_alphas=True,
-                snapshot=snapshot, progress=progress,
+                snapshot=snapshot, progress=progress, buffer=buffer,
             )
             write_alpha_file(out_code_file, alphas)
         elif lvqtype == "lvq2":
             out = lvq.lvq2_train(
                 codes, data, rlen, alpha, winlen, alpha_type=alpha_type,
                 random_order=random_order, rng=rng, snapshot=snapshot,
-                progress=progress,
+                progress=progress, buffer=buffer,
             )
         else:
             out = lvq.lvq3_train(
                 codes, data, rlen, alpha, winlen, epsilon,
                 alpha_type=alpha_type, random_order=random_order, rng=rng,
-                snapshot=snapshot, progress=progress,
+                snapshot=snapshot, progress=progress, buffer=buffer,
             )
     finally:
         if snapshot is not None:

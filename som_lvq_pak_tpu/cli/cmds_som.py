@@ -99,7 +99,7 @@ def cmd_vsom(scanner: ArgScanner, progname: str) -> int:
     rng, random_order = get_rand(scanner)
     fixed = scanner.get("-fixed", OPTION2) is not None
     weights = scanner.get("-weights", OPTION2) is not None
-    scanner.get_int("-buffer", 0, OPTION)
+    buffer = scanner.get_int("-buffer", 0, OPTION)
     alpha_type = get_alpha_type(scanner)
     snapshot = get_snapshot_opts(scanner, out_code_file, rlen)
 
@@ -118,7 +118,7 @@ def cmd_vsom(scanner: ArgScanner, progname: str) -> int:
             codes, data, rlen, alpha, radius,
             alpha_type=alpha_type, random_order=random_order, rng=rng,
             use_weights=weights, use_fixed=fixed, snapshot=snapshot,
-            progress=progress,
+            progress=progress, buffer=buffer,
         )
     finally:
         if snapshot is not None:

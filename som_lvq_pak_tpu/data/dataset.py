@@ -114,9 +114,13 @@ class Dataset:
         return self.mask
 
     def weights_or_ones(self) -> np.ndarray:
+        """Effective per-sample weights: entries without a weight= token
+        carry the sentinel 0.0 (datafile.c:497) and behave as weight 1."""
         if self.weight is None:
             return np.ones(self.n, dtype=np.float32)
-        return self.weight
+        return np.where(self.weight > 0.0, self.weight, np.float32(1.0)).astype(
+            np.float32
+        )
 
     @property
     def is_map(self) -> bool:

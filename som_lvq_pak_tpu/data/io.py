@@ -163,7 +163,7 @@ def read_data(
             if nmask == dim and skip_empty:
                 continue  # datafile.c:676-686
             row_labs: List[int] = []
-            w = 1.0
+            w = 0.0  # entries without weight= default to 0 (datafile.c:497)
             fx = (-1, -1)
             for t in toks[dim:]:
                 if t.startswith("weight="):

@@ -59,6 +59,7 @@ def sample_order(
     length: int,
     random_order: bool = False,
     rng: Optional[CRandom] = None,
+    buffer: int = 0,
 ) -> np.ndarray:
     """(length,) int32 data indices visited by a trainer.
 
@@ -66,10 +67,27 @@ def sample_order(
     (LOADMODE_ALL) the list is shuffled ONCE at load time — not per lap —
     and then cycled (read_entries is only invoked on the first rewind,
     datafile.c:237-344, 787-840).
+
+    With buffered loading (-buffer B, 0 < B < n) each read_entries refill
+    loads exactly B entries (the tail chunk shorter) and shuffles THAT
+    chunk with the continuing LCG stream (datafile.c:268-270, 338-341);
+    every lap's rewind reloads and reshuffles all chunks.  B > n
+    switches buffering off after the first load (datafile.c:330-333) —
+    identical to LOADMODE_ALL.  B == n stays buffered (the refill
+    breaks on noc >= buffer before EOF is seen), so the single
+    whole-file chunk is reshuffled every lap.
     """
     if random_order:
         if rng is None:
             raise ValueError("random_order needs the CRandom stream")
+        if 0 < buffer <= n:
+            laps = -(-length // n)
+            parts = []
+            for _ in range(laps):
+                for lo in range(0, n, buffer):
+                    chunk = np.arange(lo, min(lo + buffer, n), dtype=np.int64)
+                    parts.append(chunk[rng.shuffle_order(len(chunk))])
+            return np.concatenate(parts)[:length].astype(np.int32)
         base = rng.shuffle_order(n)
     else:
         base = np.arange(n, dtype=np.int64)
@@ -87,5 +105,8 @@ def effective_alpha(
         return talp
     t = talp.astype(np.float64)
     w = weights.astype(np.float64)
-    out = np.where(w > 0.0, 1.0 - np.power(1.0 - t, w), t)
+    # C: talp = 1.0 - (float) pow((double)(1.0 - talp), (double) weight);
+    # the pow() result is truncated to float BEFORE the subtraction.
+    p = np.power(1.0 - t, w).astype(F32).astype(np.float64)
+    out = np.where(w > 0.0, 1.0 - p, t)
     return out.astype(F32)

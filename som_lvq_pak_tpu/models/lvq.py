@@ -316,10 +316,10 @@ def balance(
 # Trainers — parity path
 # ---------------------------------------------------------------------------
 
-def _train_setup(codes, data, rlen, random_order, rng):
+def _train_setup(codes, data, rlen, random_order, rng, buffer=0):
     if codes.dim != data.dim:
         raise ValueError("data and codebook dimensions differ")
-    order = sample_order(data.n, rlen, random_order, rng)
+    order = sample_order(data.n, rlen, random_order, rng, buffer=buffer)
     return order
 
 
@@ -334,11 +334,12 @@ def lvq1_train(
     mode: str = "parity",
     snapshot=None,
     progress=None,
+    buffer: int = 0,
 ) -> Dataset:
     """lvq1: move the 1-NN winner toward (label match) or away
     (lvq1_training, lvq_rout.c:498-577).  `snapshot`: interval hook
     (lvq_rout.c:559-567)."""
-    order = _train_setup(codes, data, rlen, random_order, rng)
+    order = _train_setup(codes, data, rlen, random_order, rng, buffer)
     talpha = alpha_schedule(rlen, alpha, alpha_type)
     if mode == "fast":
         return _lvq1_fast(codes, data, order, talpha)
@@ -373,6 +374,7 @@ def olvq1_train(
     n_active: Optional[int] = None,
     snapshot=None,
     progress=None,
+    buffer: int = 0,
 ):
     """olvq1: per-code adaptive learning rates — correct winner
     α←α/(1+α), wrong winner α←α/(1−α) clipped at the initial α
@@ -386,7 +388,7 @@ def olvq1_train(
     codes read heap garbage (zero/denormal) as their learning rate and
     are effectively frozen (balance.c:187, lvq_rout.c:614).
     """
-    order = _train_setup(codes, data, rlen, random_order, rng)
+    order = _train_setup(codes, data, rlen, random_order, rng, buffer)
     if alpha == 0.0:
         if init_alphas is not None:
             # NOTE reference quirk (lvq_rout.c:666-672): when resuming
@@ -448,9 +450,10 @@ def _lvq23_train(
     rng: Optional[CRandom],
     snapshot=None,
     progress=None,
+    buffer: int = 0,
 ) -> Dataset:
     """Shared lvq2.1/lvq3 loop (lvq_rout.c:702-916). epsilon=None → lvq2."""
-    order = _train_setup(codes, data, rlen, random_order, rng)
+    order = _train_setup(codes, data, rlen, random_order, rng, buffer)
     talpha = alpha_schedule(rlen, alpha, alpha_type)
     # C: (1-winlen)/(1+winlen) in float
     wl = F32(F32(1.0 - F32(winlen)) / F32(1.0 + F32(winlen)))
@@ -495,19 +498,19 @@ def _maybe_snapshot(snapshot, le, codes_meta, pts):
 
 def lvq2_train(codes, data, rlen, alpha, winlen, alpha_type=ALPHA_LINEAR,
                random_order=False, rng=None, mode="parity", snapshot=None,
-               progress=None):
+               progress=None, buffer=0):
     """lvq2.1 window-rule training (lvq_rout.c:702-803)."""
     return _lvq23_train(codes, data, rlen, alpha, winlen, None, alpha_type,
-                        random_order, rng, snapshot, progress)
+                        random_order, rng, snapshot, progress, buffer)
 
 
 def lvq3_train(codes, data, rlen, alpha, winlen, epsilon,
                alpha_type=ALPHA_LINEAR, random_order=False, rng=None,
-               mode="parity", snapshot=None, progress=None):
+               mode="parity", snapshot=None, progress=None, buffer=0):
     """lvq3 training: lvq2.1 rule + same-class epsilon pull
     (lvq_rout.c:808-916)."""
     return _lvq23_train(codes, data, rlen, alpha, winlen, epsilon, alpha_type,
-                        random_order, rng, snapshot, progress)
+                        random_order, rng, snapshot, progress, buffer)
 
 
 # ---------------------------------------------------------------------------

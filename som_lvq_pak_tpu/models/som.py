@@ -213,6 +213,7 @@ def som_train(
     mode: str = "parity",
     snapshot=None,
     progress=None,
+    buffer: int = 0,
 ) -> Dataset:
     """SOM training (som_training, som_rout.c:556-671).
 
@@ -226,7 +227,7 @@ def som_train(
         raise ValueError("som_train: codebook is not a map (topol < hexa)")
     if codes.dim != data.dim:
         raise ValueError("code dimension != data dimension")
-    order = sample_order(data.n, rlen, random_order, rng)
+    order = sample_order(data.n, rlen, random_order, rng, buffer=buffer)
     talp = alpha_schedule(rlen, alpha, alpha_type)
     trad = radius_schedule(rlen, radius)
     # per-sample weighting folded into the schedule

@@ -122,3 +122,62 @@ def test_fast_mode_close_to_parity(golden_dir, ex_dat):
     qp = find_qerror(par2, ex_dat, mode="fast")
     qf = find_qerror(fast2, ex_dat, mode="fast")
     assert abs(qp - qf) / qp < 2e-2
+
+
+# ---------------------------------------------------------------------------
+# weight= / buffered-streaming / fixed= parity (goldens generated with the
+# compiled reference: vsom -weights 1 / -buffer B -rand 3 / -fixed 1)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture()
+def wmask_dat(golden_dir):
+    """120x7 synthetic file with masked comps, labels and weight= tokens."""
+    return read_data(os.path.join(golden_dir, "wmask.dat"))
+
+
+def test_vsom_weights_matches_golden(golden_dir, wmask_dat):
+    """talp = 1 - (float)pow(1-talp, weight) with the pow result truncated
+    to float before the subtraction, and weight defaulting to the 0
+    sentinel for entries without a token (som_rout.c:622-624,
+    datafile.c:497)."""
+    codes = read_data(os.path.join(golden_dir, "wmask_r.cod"))
+    out = som_train(codes, wmask_dat, rlen=300, alpha=0.05, radius=4,
+                    use_weights=True)
+    with open(os.path.join(golden_dir, "wmask_w.cod")) as f:
+        assert _write_str(out) == f.read()
+
+
+def test_vsom_buffered_random_order_matches_golden(golden_dir, wmask_dat):
+    """-buffer B with -rand shuffles each B-entry refill independently
+    with the continuing LCG stream, every lap (datafile.c:268-270,
+    338-341)."""
+    codes = read_data(os.path.join(golden_dir, "wmask_r.cod"))
+    rng = CRandom()
+    rng.init_random(3)
+    out = som_train(codes, wmask_dat, rlen=300, alpha=0.05, radius=4,
+                    random_order=True, rng=rng, buffer=37)
+    with open(os.path.join(golden_dir, "wmask_br.cod")) as f:
+        assert _write_str(out) == f.read()
+
+
+def test_vsom_buffer_equals_n_matches_golden(golden_dir, wmask_dat):
+    """buffer == n stays in buffered mode (refill breaks on noc >= buffer
+    before EOF), so the whole file is reshuffled every lap — unlike
+    buffer > n which degrades to the shuffle-once LOADMODE_ALL."""
+    codes = read_data(os.path.join(golden_dir, "wmask_r.cod"))
+    rng = CRandom()
+    rng.init_random(3)
+    out = som_train(codes, wmask_dat, rlen=300, alpha=0.05, radius=4,
+                    random_order=True, rng=rng, buffer=wmask_dat.n)
+    with open(os.path.join(golden_dir, "wmask_b120.cod")) as f:
+        assert _write_str(out) == f.read()
+
+
+def test_vsom_fixed_points_matches_golden(golden_dir):
+    """fixed=x,y samples bypass the winner search (som_rout.c:628-632)."""
+    data = read_data(os.path.join(golden_dir, "fix.dat"))
+    codes = read_data(os.path.join(golden_dir, "fix_r.cod"))
+    out = som_train(codes, data, rlen=200, alpha=0.1, radius=2,
+                    use_fixed=True)
+    with open(os.path.join(golden_dir, "fix_fv.cod")) as f:
+        assert _write_str(out) == f.read()
