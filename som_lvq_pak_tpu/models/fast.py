@@ -68,7 +68,24 @@ def neighborhood_matrix(
     return jnp.where(d2 <= radius * radius, alpha, 0.0)
 
 
-@functools.partial(jax.jit, static_argnames=("gaussian", "update", "use_pallas"))
+def derive_grid_geometry(coords) -> Tuple[int, bool]:
+    """(xdim, hexa) back from a unit_coords table.
+
+    Needs concrete coordinates (call before/outside jit): row 1 starts at
+    the first index whose y > 0; hexa iff that y is sqrt(0.75)."""
+    c = np.asarray(coords)
+    noc = c.shape[0]
+    nz = np.nonzero(c[:, 1] > 0)[0]
+    if nz.size == 0:
+        return noc, False  # single-row map: hexa offsets never apply
+    xdim = int(nz[0])
+    hexa = bool(abs(c[xdim, 1] - np.sqrt(0.75)) < 1e-4)
+    return xdim, hexa
+
+
+@functools.partial(
+    jax.jit, static_argnames=("gaussian", "update", "use_pallas", "xdim", "hexa")
+)
 def som_batch_step(
     codes: jnp.ndarray,
     xb: jnp.ndarray,
@@ -78,23 +95,31 @@ def som_batch_step(
     gaussian: bool = False,
     update: str = "sum",
     use_pallas: bool = True,
+    xdim: Optional[int] = None,
+    hexa: bool = True,
 ) -> jnp.ndarray:
     """One minibatch SOM step: fused winner search + W^T X update.
 
     update='sum':  codes += sum_b W_bj (x_b - m_j)   (accumulated online)
     update='mean': codes  = blend toward (W^T X)_j / (W^T 1)_j  (batch SOM)
+
+    Pass static `xdim`/`hexa` (see derive_grid_geometry) on the pallas
+    path: the update kernel then receives raw BMU indices and computes
+    all grid coordinates internally from iota — 2-wide coordinate arrays
+    like coords[bmu] have a pathological TPU layout whose relayout costs
+    more than the entire update (~0.5 ms at B=1024, N=65536).
     """
     if use_pallas:
         from ..ops.pallas_distance import dist_argmin
 
         _, bmu = dist_argmin(xb, codes)
-        if update == "sum":
-            # fully fused path: the (B, noc) weight matrix never exists
-            from ..ops.pallas_som import som_neighborhood_update
+        if update == "sum" and xdim is not None:
+            # fully fused path: neither W (B, noc) nor (., 2) coordinate
+            # arrays ever exist
+            from ..ops.pallas_som import som_neighborhood_update_idx
 
-            return som_neighborhood_update(
-                codes, xb, coords[bmu], coords, alpha, radius,
-                gaussian=gaussian,
+            return som_neighborhood_update_idx(
+                codes, xb, bmu, xdim, hexa, alpha, radius, gaussian=gaussian
             )
     else:
         from ..ops.distance import find_winners
@@ -258,8 +283,13 @@ def som_train_fast(
     trad = radius_schedule(rlen, radius)[:: max(1, batch_size)][:nb]
 
     key = jax.random.PRNGKey(seed)
-    X = jnp.asarray(data.points)
-    M = jnp.asarray(codes.points)
+    # keep the feature axis lane-padded (multiple of 128) for the whole
+    # run: zero columns leave distances and updates unchanged, and the
+    # kernels then skip their per-step pad/slice copies of the codebook
+    D = codes.dim
+    Dp = -(-D // 128) * 128
+    X = jnp.zeros((data.n, Dp), jnp.float32).at[:, :D].set(jnp.asarray(data.points))
+    M = jnp.zeros((codes.n, Dp), jnp.float32).at[:, :D].set(jnp.asarray(codes.points))
     n = data.n
 
     steps = jax.random.randint(key, (nb, batch_size), 0, n)
@@ -271,9 +301,11 @@ def som_train_fast(
         a_eff = a if update == "mean" else a
         return (
             som_batch_step(m, xb, coords, a_eff, r, gaussian=gaussian, update=update,
-                           use_pallas=jax.default_backend() == "tpu"),
+                           use_pallas=jax.default_backend() == "tpu",
+                           xdim=codes.xdim,
+                           hexa=codes.topol == Topology.HEXA),
             None,
         )
 
     M, _ = jax.lax.scan(body, M, (steps, jnp.asarray(talp), jnp.asarray(trad)))
-    return replace(codes, points=np.asarray(M), comments=[])
+    return replace(codes, points=np.asarray(M)[:, :D], comments=[])

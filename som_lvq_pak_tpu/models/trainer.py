@@ -80,6 +80,8 @@ class SOMTrainer:
                 M, xb, self.coords, jnp.float32(a), jnp.float32(r),
                 gaussian=self.gaussian, update=self.update,
                 use_pallas=self.use_pallas,
+                xdim=self.meta.xdim,
+                hexa=self.meta.topol == Topology.HEXA,
             )
         from ..parallel.sharded import shard_arrays
 

@@ -103,10 +103,19 @@ def dist_argmin(
     Np = _round_up(N, tile_n)
     Dp = _round_up(D, 128)
 
-    xp = jnp.zeros((Bp, Dp), dtype=x.dtype).at[:B, :D].set(x)
-    mp = jnp.zeros((Np, Dp), dtype=codes.dtype).at[:N, :D].set(codes)
+    if (Bp, Dp) == x.shape:
+        xp = x
+    else:
+        xp = jnp.zeros((Bp, Dp), dtype=x.dtype).at[:B, :D].set(x)
+    if (Np, Dp) == codes.shape:
+        mp = codes
+    else:
+        mp = jnp.zeros((Np, Dp), dtype=codes.dtype).at[:N, :D].set(codes)
     # padded codebook rows get +inf norm so they can never win
-    m2p = jnp.full((1, Np), jnp.inf, dtype=jnp.float32).at[0, :N].set(m2)
+    if Np == N:
+        m2p = m2.reshape(1, N)
+    else:
+        m2p = jnp.full((1, Np), jnp.inf, dtype=jnp.float32).at[0, :N].set(m2)
     if bf16:
         xp = xp.astype(jnp.bfloat16)
         mp = mp.astype(jnp.bfloat16)

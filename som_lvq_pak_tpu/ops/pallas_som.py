@@ -7,11 +7,18 @@ BMUs; this kernel applies the neighborhood update
 
 without ever materializing W (B, noc) in HBM: each (codebook-tile,
 batch-tile) grid cell recomputes its W block on the VPU from the 2-D
-unit coordinates (the closed-form grid geometry of som_rout.c:434-468)
-and accumulates the partial W^T X contraction on the MXU into the output
+unit grid geometry (the closed form of som_rout.c:434-468) and
+accumulates the partial W^T X contraction on the MXU into the output
 tile.  HBM traffic per step is one read+write of the codebook plus the
-(B, D) batch and (B, 2)/(noc, 2) coordinates — the roofline for this
+(B, D) batch and the (1, B) BMU index vector — the roofline for this
 update.
+
+The BMU enters as a flat unit index in a lane-major (1, B) int32 vector
+and both endpoints' grid coordinates are computed inside the kernel
+from iota (hexa: odd rows offset x by +0.5, y scaled sqrt(0.75)).
+(B, 2)/(noc, 2) coordinate arrays never exist: 2-wide arrays force a
+pathological TPU lane layout whose relayout costs more than the whole
+update (measured ~0.5 ms per step at B=1024).
 
 h = bubble (1 inside radius, som_rout.c:472-506) or gaussian
 (exp(-d^2/2r^2), :511-549)."""
@@ -19,12 +26,15 @@ h = bubble (1 inside radius, som_rout.c:472-506) or gaussian
 from __future__ import annotations
 
 import functools
+import math
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+_SQRT075 = math.sqrt(0.75)
 
 
 def _cdiv(a, b):
@@ -35,10 +45,26 @@ def _round_up(x, m):
     return _cdiv(x, m) * m
 
 
+def _grid_xy(idx, xdim: int, hexa: bool):
+    """Grid coordinates of flat unit indices (som_rout.c:434-455).
+
+    idx int32 array -> (x, y) float32 arrays of the same shape.  The C
+    pairwise hexa formula equals embedding odd rows at x+0.5 with y
+    scaled by sqrt(0.75) and taking plain euclidean distance."""
+    col = (idx % xdim).astype(jnp.float32)
+    row = idx // xdim
+    if hexa:
+        x = col + 0.5 * (row % 2).astype(jnp.float32)
+        y = row.astype(jnp.float32) * _SQRT075
+    else:
+        x = col
+        y = row.astype(jnp.float32)
+    return x, y
+
+
 def _som_update_kernel(
-    bxy_ref,      # (TB, 2)   BMU grid coordinates of the batch tile
+    bmu_ref,      # (1, TB)   int32 flat BMU index of each batch sample
     x_ref,        # (TB, D)   batch tile
-    lxy_ref,      # (TN, 2)   grid coordinates of the local codebook rows
     codes_ref,    # (TN, D)   codebook tile (input)
     ar_ref,       # (1, 2)    [alpha, radius]
     out_ref,      # (TN, D)   updated codebook tile
@@ -47,7 +73,11 @@ def _som_update_kernel(
     *,
     gaussian: bool,
     n_btiles: int,
+    tile_n: int,
+    xdim: int,
+    hexa: bool,
 ):
+    i = pl.program_id(0)
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -57,20 +87,25 @@ def _som_update_kernel(
 
     alpha = ar_ref[0, 0]
     radius = ar_ref[0, 1]
-    bxy = bxy_ref[:]                      # (TB, 2)
-    lxy = lxy_ref[:]                      # (TN, 2)
+
+    bmu = bmu_ref[:]                                   # (1, TB) int32
+    bx, by = _grid_xy(bmu, xdim, hexa)                 # (1, TB)
+    # local codebook rows' coordinates from the global row index
+    lidx = i * tile_n + jax.lax.broadcasted_iota(jnp.int32, (tile_n, 1), 0)
+    lx, ly = _grid_xy(lidx, xdim, hexa)                # (TN, 1)
+
     # W computed directly in (TN, TB) orientation: the contraction dim
-    # (TB) lands on W's lanes and X's sublanes, the MXU-native layout —
-    # no transpose between the VPU weight computation and the matmul
-    dx = lxy[:, 0][:, None] - bxy[:, 0][None, :]
-    dy = lxy[:, 1][:, None] - bxy[:, 1][None, :]
-    d2 = dx * dx + dy * dy                # (TN, TB)
+    # (TB) lands on W's lanes and X's sublanes, the MXU-native layout
+    dx = lx - bx
+    dy = ly - by
+    d2 = dx * dx + dy * dy                             # (TN, TB)
     if gaussian:
         w = alpha * jnp.exp(-d2 / (2.0 * radius * radius))
     else:
         w = jnp.where(d2 <= radius * radius, alpha, 0.0)
+    # padded batch rows carry bmu = -1 -> weight 0
+    w = jnp.where(bmu < 0, 0.0, w)
 
-    # padded batch rows carry bxy = (inf, inf) -> w = 0/NaN-free guard
     acc_ref[:] += jax.lax.dot_general(
         w, x_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
@@ -83,21 +118,24 @@ def _som_update_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("gaussian", "tile_b", "tile_n", "interpret")
+    jax.jit,
+    static_argnames=("xdim", "hexa", "gaussian", "tile_b", "tile_n", "interpret"),
 )
-def som_neighborhood_update(
+def som_neighborhood_update_idx(
     codes: jnp.ndarray,     # (noc, D)
     xb: jnp.ndarray,        # (B, D)
-    bmu_xy: jnp.ndarray,    # (B, 2) grid coordinates of each sample's BMU
-    coords: jnp.ndarray,    # (noc, 2) unit grid coordinates
+    bmu: jnp.ndarray,       # (B,) int32 flat BMU unit index per sample
+    xdim: int,
+    hexa: bool,
     alpha,
     radius,
     gaussian: bool = False,
-    tile_b: int = 512,
+    tile_b: int = 1024,
     tile_n: int = 1024,
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
-    """codes + sum_b W_b (x_b - codes) with W recomputed per tile."""
+    """codes + sum_b W_b (x_b - codes), W recomputed per tile from the
+    BMU indices and static grid geometry (xdim, hexa)."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     noc, D = codes.shape
@@ -108,25 +146,33 @@ def som_neighborhood_update(
     Np = _round_up(noc, tile_n)
     Dp = _round_up(D, 128)
 
-    xp = jnp.zeros((Bp, Dp), dtype=jnp.float32).at[:B, :D].set(xb)
-    cp = jnp.zeros((Np, Dp), dtype=jnp.float32).at[:noc, :D].set(codes)
-    # padded batch rows get far-away BMU coords so their weight is 0
-    # (bubble) or exp(-huge) = 0 (gaussian)
-    bxyp = jnp.full((Bp, 2), 1e30, dtype=jnp.float32).at[:B].set(bmu_xy)
-    lxyp = jnp.full((Np, 2), -1e30, dtype=jnp.float32).at[:noc].set(coords)
+    if (Bp, Dp) == xb.shape:
+        xp = xb
+    else:
+        xp = jnp.zeros((Bp, Dp), dtype=jnp.float32).at[:B, :D].set(xb)
+    if (Np, Dp) == codes.shape:
+        cp = codes
+    else:
+        cp = jnp.zeros((Np, Dp), dtype=jnp.float32).at[:noc, :D].set(codes)
+    # padded batch entries -> bmu -1 (zero weight in the kernel)
+    bp = jnp.full((1, Bp), -1, dtype=jnp.int32).at[0, :B].set(bmu.astype(jnp.int32))
     ar = jnp.asarray([[alpha, radius]], dtype=jnp.float32)
 
     n_btiles = Bp // tile_b
     grid = (Np // tile_n, n_btiles)
     out = pl.pallas_call(
         functools.partial(
-            _som_update_kernel, gaussian=gaussian, n_btiles=n_btiles
+            _som_update_kernel,
+            gaussian=gaussian,
+            n_btiles=n_btiles,
+            tile_n=tile_n,
+            xdim=xdim,
+            hexa=hexa,
         ),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((tile_b, 2), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_b), lambda i, j: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_b, Dp), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_n, 2), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_n, Dp), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 2), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
         ],
@@ -140,9 +186,49 @@ def som_neighborhood_update(
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * Bp * Np * Dp,
-            bytes_accessed=(2 * Np * Dp + Bp * Dp + 2 * Bp + 2 * Np) * 4,
+            bytes_accessed=(2 * Np * Dp + Bp * Dp + Bp) * 4,
             transcendentals=Bp * Np if gaussian else 0,
         ),
         interpret=interpret,
-    )(bxyp, xp, lxyp, cp, ar)
+    )(bp, xp, cp, ar)
+    if (Np, Dp) == (noc, D):
+        return out
     return out[:noc, :D]
+
+
+def som_neighborhood_update(
+    codes: jnp.ndarray,
+    xb: jnp.ndarray,
+    bmu_xy: jnp.ndarray,    # (B, 2) grid coordinates of each sample's BMU
+    coords: jnp.ndarray,    # (noc, 2) unit grid coordinates
+    alpha,
+    radius,
+    gaussian: bool = False,
+    tile_b: int = 1024,
+    tile_n: int = 1024,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Coordinate-array compatibility wrapper.
+
+    Recovers the flat BMU index and grid geometry from the (B, 2)/(noc, 2)
+    coordinate arrays, then calls the index-based kernel.  Needs concrete
+    `coords` (call outside jit).  Prefer som_neighborhood_update_idx — it
+    avoids materializing the 2-wide coordinate arrays (pathological TPU
+    layout) altogether."""
+    from ..models.fast import derive_grid_geometry
+
+    xdim, hexa = derive_grid_geometry(coords)
+    # invert each bmu_xy back to its flat unit index
+    bx = bmu_xy[:, 0]
+    by = bmu_xy[:, 1]
+    if hexa:
+        row = jnp.round(by / _SQRT075).astype(jnp.int32)
+        col = jnp.round(bx - 0.5 * (row % 2).astype(jnp.float32)).astype(jnp.int32)
+    else:
+        row = jnp.round(by).astype(jnp.int32)
+        col = jnp.round(bx).astype(jnp.int32)
+    bmu = row * xdim + col
+    return som_neighborhood_update_idx(
+        codes, xb, bmu, xdim, hexa, alpha, radius,
+        gaussian=gaussian, tile_b=tile_b, tile_n=tile_n, interpret=interpret,
+    )
