@@ -32,7 +32,7 @@ from .common import (
     require_same_dim,
     save_codes,
 )
-from .params import ALWAYS, OPTION, OPTION2, ArgScanner, err, ifverbose
+from .params import ALWAYS, OPTION, OPTION2, ArgScanner, err, ifverbose, selfuncs
 
 
 def _invalidate(out_code_file: str) -> None:
@@ -173,6 +173,7 @@ def cmd_eveninit(scanner: ArgScanner, progname: str) -> int:
 # ---------------------------------------------------------------------------
 
 def cmd_balance(scanner: ArgScanner, progname: str) -> int:
+    selfuncs(scanner)
     in_data_file = scanner.get("-din", ALWAYS)
     in_code_file = scanner.get("-cin", ALWAYS)
     out_code_file = scanner.get("-cout", ALWAYS)
@@ -197,6 +198,7 @@ def cmd_balance(scanner: ArgScanner, progname: str) -> int:
 # ---------------------------------------------------------------------------
 
 def cmd_accuracy(scanner: ArgScanner, progname: str) -> int:
+    selfuncs(scanner)
     in_data_file = scanner.get("-din", ALWAYS)
     in_code_file = scanner.get("-cin", ALWAYS)
     scanner.get_int("-buffer", 0, OPTION)
@@ -223,6 +225,7 @@ def cmd_accuracy(scanner: ArgScanner, progname: str) -> int:
 # ---------------------------------------------------------------------------
 
 def cmd_classify(scanner: ArgScanner, progname: str) -> int:
+    selfuncs(scanner)
     in_data_file = scanner.get("-din", ALWAYS)
     in_code_file = scanner.get("-cin", ALWAYS)
     cfout = scanner.get("-cfout", OPTION)
@@ -249,6 +252,7 @@ def cmd_classify(scanner: ArgScanner, progname: str) -> int:
 # ---------------------------------------------------------------------------
 
 def cmd_knntest(scanner: ArgScanner, progname: str) -> int:
+    selfuncs(scanner)
     in_data_file = scanner.get("-din", ALWAYS)
     in_code_file = scanner.get("-cin", ALWAYS)
     knn = scanner.get_int("-knn", 5, OPTION)
@@ -369,6 +373,7 @@ def cmd_extract(scanner: ArgScanner, progname: str) -> int:
 
 
 def cmd_setlabel(scanner: ArgScanner, progname: str) -> int:
+    selfuncs(scanner)
     in_data_file = scanner.get("-din", ALWAYS)
     in_code_file = scanner.get("-cin", ALWAYS)
     out_code_file = scanner.get("-cout", ALWAYS)

@@ -23,7 +23,7 @@ from .common import (
     require_same_dim,
     save_codes,
 )
-from .params import ALWAYS, OPTION, OPTION2, ArgScanner, err, ifverbose
+from .params import ALWAYS, OPTION, OPTION2, ArgScanner, err, ifverbose, selfuncs
 
 
 def _topol(s: str) -> Topology:
@@ -90,6 +90,7 @@ def cmd_mapinit(scanner: ArgScanner, progname: str) -> int:
 # ---------------------------------------------------------------------------
 
 def cmd_vsom(scanner: ArgScanner, progname: str) -> int:
+    selfuncs(scanner)
     in_data_file = scanner.get("-din", ALWAYS)
     in_code_file = scanner.get("-cin", ALWAYS)
     out_code_file = scanner.get("-cout", ALWAYS)
@@ -135,6 +136,7 @@ def cmd_vsom(scanner: ArgScanner, progname: str) -> int:
 # ---------------------------------------------------------------------------
 
 def cmd_qerror(scanner: ArgScanner, progname: str) -> int:
+    selfuncs(scanner)
     in_data_file = scanner.get("-din", ALWAYS)
     in_code_file = scanner.get("-cin", ALWAYS)
     scanner.get_int("-buffer", 0, OPTION)
@@ -167,6 +169,7 @@ def cmd_qerror(scanner: ArgScanner, progname: str) -> int:
 # ---------------------------------------------------------------------------
 
 def cmd_vcal(scanner: ArgScanner, progname: str) -> int:
+    selfuncs(scanner)
     in_data_file = scanner.get("-din", ALWAYS)
     in_code_file = scanner.get("-cin", ALWAYS)
     out_code_file = scanner.get("-cout", ALWAYS)
@@ -188,6 +191,7 @@ def cmd_vcal(scanner: ArgScanner, progname: str) -> int:
 # ---------------------------------------------------------------------------
 
 def cmd_visual(scanner: ArgScanner, progname: str) -> int:
+    selfuncs(scanner)
     in_data_file = scanner.get("-din", ALWAYS)
     in_code_file = scanner.get("-cin", ALWAYS)
     out_data_file = scanner.get("-dout", ALWAYS)
@@ -262,6 +266,7 @@ def _prompt_float(msg: str, default: float = 0.0) -> float:
 
 
 def cmd_vfind(scanner: ArgScanner, progname: str) -> int:
+    selfuncs(scanner)
     sys.stdout.write(VFIND_DESCRIPTION)
 
     ntrials = _prompt_int("Give the number of trials")

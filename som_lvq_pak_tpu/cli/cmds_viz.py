@@ -17,7 +17,7 @@ from ..viz.eps import sammon_base_name, sammon_eps
 from ..viz.planes import print_plane, print_trajectory, trajectory_indices
 from ..viz.umat_ps import print_eps, print_page
 from .common import load_data, require_map
-from .params import ALWAYS, OPTION, OPTION2, ArgScanner, err, ifverbose
+from .params import ALWAYS, OPTION, OPTION2, ArgScanner, err, ifverbose, selfuncs
 
 
 # ---------------------------------------------------------------------------
@@ -144,6 +144,7 @@ def cmd_umat(scanner: ArgScanner, progname: str) -> int:
 # ---------------------------------------------------------------------------
 
 def cmd_planes(scanner: ArgScanner, progname: str) -> int:
+    selfuncs(scanner)
     in_code_file = scanner.get("-cin", ALWAYS)
     in_data_file = scanner.get("-din", OPTION)
     plane = scanner.get_int("-plane", 1, OPTION)

@@ -125,6 +125,19 @@ def global_options(scanner: ArgScanner) -> None:
     verbose(scanner.get_int("-v", 1, OPTION))
 
 
+def selfuncs(scanner: ArgScanner) -> None:
+    """-selfuncs: named function-set selector (set_vector_functions,
+    datafile.c:1207-1243).  Only the "default" set is wired in the
+    reference (the "fast" variants are commented out, datafile.c:1219);
+    any other name warns and falls back, matching strcasecmp dispatch.
+    Scanned by accuracy/balance/classify/knntest/planes/qerror/setlabel/
+    vcal/vfind/visual/vsom (e.g. vsom.c:131, accuracy.c:165); lvqtrain
+    and cmatr list it in their usage text but never parse it."""
+    name = scanner.get("-selfuncs", OPTION)
+    if name is not None and name.lower() != "default":
+        sys.stderr.write("functions for '%s' not found, using defaults\n" % name)
+
+
 def err(msg: str, code: int = 1) -> None:
     sys.stderr.write(msg if msg.endswith("\n") else msg + "\n")
     raise CliError(code)

@@ -251,3 +251,19 @@ def test_lvq_run_pipeline_api(ref_dir, tmp_path):
     assert abs(c.accuracy - 90.11) < 0.005
     save_log(c)
     assert os.path.exists("p1.log")
+
+
+def test_selfuncs_flag(ref_dir, golden_dir, tmp_path, capsys):
+    """-selfuncs: only the "default" set exists (set_vector_functions,
+    datafile.c:1222-1243); unknown names warn to stderr and fall back."""
+    os.chdir(tmp_path)
+    rc, out = run("qerror", "-din", f"{ref_dir}/ex.dat",
+                  "-cin", f"{golden_dir}/som_g.cod", "-selfuncs", "default")
+    assert rc == 0
+    assert "not found" not in capsys.readouterr().err
+
+    rc, out2 = run("qerror", "-din", f"{ref_dir}/ex.dat",
+                   "-cin", f"{golden_dir}/som_g.cod", "-selfuncs", "fast")
+    assert rc == 0
+    assert out2 == out  # falls back to the default functions
+    assert "functions for 'fast' not found, using defaults" in capsys.readouterr().err
