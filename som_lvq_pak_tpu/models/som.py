@@ -369,13 +369,20 @@ def find_qerror(codes: Dataset, data: Dataset, mode: str = "parity") -> float:
 
     from ..ops.distance import sq_distances
 
-    d = sq_distances(jnp.asarray(data.points), jnp.asarray(codes.points),
-                     None if data.mask is None else jnp.asarray(data.mask))
-    mind = jnp.min(d, axis=-1)
-    if data.mask is not None:
-        nonempty = ~np.asarray(data.mask).all(axis=1)
-        mind = mind * jnp.asarray(nonempty)
-    return float(jnp.sum(jnp.sqrt(jnp.maximum(mind, 0.0))))
+    # chunk the data axis so the (B, noc) distance block stays bounded
+    # (full-size workloads: 100k x 16k f32 would be 6.5 GB unchunked)
+    chunk = max(1, min(data.n, (1 << 25) // max(1, codes.n)))
+    M = jnp.asarray(codes.points)
+    total = 0.0
+    for s in range(0, data.n, chunk):
+        xs = jnp.asarray(data.points[s : s + chunk])
+        xm = None if data.mask is None else jnp.asarray(data.mask[s : s + chunk])
+        mind = jnp.min(sq_distances(xs, M, xm), axis=-1)
+        if data.mask is not None:
+            nonempty = ~np.asarray(data.mask[s : s + chunk]).all(axis=1)
+            mind = mind * jnp.asarray(nonempty)
+        total += float(jnp.sum(jnp.sqrt(jnp.maximum(mind, 0.0))))
+    return total
 
 
 def find_qerror2(codes: Dataset, data: Dataset, radius: float) -> float:
