@@ -52,7 +52,15 @@ def run_large_som(n: int, dim: int, side: int, batch: int, rlen: int = 0,
     data = Dataset(synthetic_data(n, dim))
     rng = CRandom()
     rng.init_random(123)
-    codes = randinit(data, side, side, Topology.HEXA, Neighborhood.GAUSSIAN, rng)
+    codes = randinit(
+        data,
+        topol=Topology.HEXA,
+        neigh=Neighborhood.GAUSSIAN,
+        xdim=side,
+        ydim=side,
+        rng=rng,
+    )
+    assert codes.n == side * side, (codes.n, side)
 
     rlen = rlen or 20 * n
     curve = [find_qerror(codes, data, mode="fast") / data.n]
@@ -79,8 +87,26 @@ def run_large_som(n: int, dim: int, side: int, batch: int, rlen: int = 0,
         "train_wall_s": round(wall, 2),
         "samples_per_s": round(2 * rlen / wall),
         "sammon_points": deduped.n,
+        "sammon_requested": sub.n,
         "sammon_mapping_error": round(float(mapping_error(proj, dmat)), 6),
     }
+
+
+def check_summary(summary: dict) -> None:
+    """Quality gates (importable by tests): training must not just nudge
+    qerror down but meaningfully order the map, and the codebook must not
+    collapse to a handful of distinct vectors."""
+    curve = summary["qerror_curve"]
+    assert curve[-1] < curve[0], "training must reduce quantization error"
+    assert curve[-1] < 0.7 * curve[0], (
+        f"qerror must drop by >30% (got {curve[0]:.4f} -> {curve[-1]:.4f})"
+    )
+    # codebook collapse check: the Sammon subsample must stay diverse
+    # after remove_identicals (a collapsed map dedupes to a few points)
+    assert summary["sammon_points"] >= summary["sammon_requested"] // 4, (
+        f"codebook collapse: only {summary['sammon_points']} unique points "
+        f"of {summary['sammon_requested']} sampled"
+    )
 
 
 def main() -> int:
@@ -98,8 +124,7 @@ def main() -> int:
     summary = run_large_som(args.n, args.dim, args.map, args.batch,
                             args.rlen, args.sammon_sub)
     print(json.dumps(summary))
-    curve = summary["qerror_curve"]
-    assert curve[-1] < curve[0], "training must reduce quantization error"
+    check_summary(summary)
     return 0
 
 

@@ -134,7 +134,22 @@ def som_batch_step(
         target = wx / jnp.where(wsum > 0, wsum, 1.0)
         blend = jnp.minimum(wsum, 1.0)
         return jnp.where(wsum > 0, codes + blend * (target - codes), codes)
-    return codes + (wx - wsum * codes)
+    return _guarded_sum_update(codes, wx, wsum)
+
+
+def _guarded_sum_update(codes, wx, wsum):
+    """codes + (wx - wsum*codes), saturated for stability.
+
+    The raw accumulated-online update is exact only while a unit's total
+    neighborhood weight wsum <= 1; beyond that (large B x alpha x wide
+    gaussian) the multiplier (1 - wsum) goes negative and training
+    diverges.  Saturate at the batch weighted mean: identical result for
+    wsum <= 1, a full blend to wx/wsum otherwise — the sequential
+    reference can never overshoot past its samples (som_rout.c:472-549
+    applies alpha <= 1 per sample), and neither does this."""
+    safe = jnp.maximum(wsum, 1e-30)
+    blend = jnp.minimum(wsum, 1.0)
+    return codes + blend * (wx / safe - codes)
 
 
 @functools.partial(jax.jit, static_argnames=("use_pallas",))

@@ -114,7 +114,13 @@ def _som_update_kernel(
     @pl.when(j == n_btiles - 1)
     def _():
         c = codes_ref[:]
-        out_ref[:] = c + acc_ref[:] - wsum_ref[:] * c
+        # saturating stability guard (models.fast._guarded_sum_update):
+        # exact c + acc - wsum*c while wsum <= 1, full blend to the batch
+        # weighted mean acc/wsum beyond that
+        wsum = wsum_ref[:]
+        safe = jnp.maximum(wsum, 1e-30)
+        blend = jnp.minimum(wsum, 1.0)
+        out_ref[:] = c + blend * (acc_ref[:] / safe - c)
 
 
 @functools.partial(

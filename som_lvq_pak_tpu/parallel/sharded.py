@@ -85,7 +85,9 @@ def sharded_som_step(
     # combine partial accumulators over the data axis
     wx = jax.lax.psum(wx, "data")
     wsum = jax.lax.psum(wsum, "data")
-    return codes_local + (wx - wsum * codes_local)
+    from ..models.fast import _guarded_sum_update
+
+    return _guarded_sum_update(codes_local, wx, wsum)
 
 
 def sharded_olvq1_step(

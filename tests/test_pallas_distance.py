@@ -127,7 +127,8 @@ def test_som_neighborhood_update_matches_xla():
             W = neighborhood_matrix(coords, bmu, 2.5, 0.05, gaussian)
             wx = W.T @ xb
             wsum = W.sum(axis=0)[:, None]
-            ref = codes + (wx - wsum * codes)
+            from som_lvq_pak_tpu.models.fast import _guarded_sum_update
+            ref = _guarded_sum_update(codes, wx, wsum)
             out = som_neighborhood_update(
                 codes, xb, coords[bmu], coords, 0.05, 2.5,
                 gaussian=gaussian, tile_b=32, tile_n=64,
