@@ -61,11 +61,15 @@ def neighborhood_matrix(
     gaussian: bool,
 ) -> jnp.ndarray:
     """(B, noc) adaptation weights (bubble: som_rout.c:472-506,
-    gaussian: :511-549)."""
+    gaussian: :511-549).  `alpha` may be a scalar or a per-sample (B,)
+    vector (weight= scaling, empty-sample zeroing)."""
     d2 = grid_sq_dists(coords, bmu)
+    a = jnp.asarray(alpha, dtype=jnp.float32)
+    if a.ndim == 1:
+        a = a[:, None]
     if gaussian:
-        return alpha * jnp.exp(-d2 / (2.0 * radius * radius))
-    return jnp.where(d2 <= radius * radius, alpha, 0.0)
+        return a * jnp.exp(-d2 / (2.0 * radius * radius))
+    return jnp.where(d2 <= radius * radius, a, 0.0)
 
 
 def derive_grid_geometry(coords) -> Tuple[int, bool]:
@@ -97,11 +101,24 @@ def som_batch_step(
     use_pallas: bool = True,
     xdim: Optional[int] = None,
     hexa: bool = True,
+    mask: Optional[jnp.ndarray] = None,
+    weights: Optional[jnp.ndarray] = None,
+    fixed_bmu: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """One minibatch SOM step: fused winner search + W^T X update.
 
-    update='sum':  codes += sum_b W_bj (x_b - m_j)   (accumulated online)
-    update='mean': codes  = blend toward (W^T X)_j / (W^T 1)_j  (batch SOM)
+    update='sum':  codes += sum_b W_bj (x_b - m_j)   (accumulated online,
+                   saturating-guarded — see _guarded_sum_update)
+    update='mean': blend toward (W^T X)_j / (W^T 1)_j  (batch SOM)
+    With the guard the two coincide: 'sum' is exact accumulation while a
+    unit's weight mass <= 1 and saturates at the 'mean' target beyond.
+
+    Reference training-loop semantics carried onto the batch path
+    (som_rout.c:612-640): `weights` (B,) scales each sample's alpha as
+    1-(1-a)^w; `fixed_bmu` (B,) int32 >= 0 bypasses winner search for
+    fixed-point samples; `mask` (B, D) excludes masked comps from both
+    the winner distance and the update, and all-masked (empty) samples
+    are skipped.
 
     Pass static `xdim`/`hexa` (see derive_grid_geometry) on the pallas
     path: the update kernel then receives raw BMU indices and computes
@@ -109,31 +126,52 @@ def som_batch_step(
     like coords[bmu] have a pathological TPU layout whose relayout costs
     more than the entire update (~0.5 ms at B=1024, N=65536).
     """
+    # per-sample effective alpha (som_rout.c:622-624); empty samples -> 0
+    a = jnp.broadcast_to(jnp.asarray(alpha, dtype=jnp.float32), xb.shape[:1])
+    if weights is not None:
+        w = jnp.where(weights > 0.0, weights, 1.0).astype(jnp.float32)
+        a = 1.0 - jnp.power(1.0 - a, w)
+    if mask is not None:
+        a = jnp.where(jnp.all(mask != 0, axis=-1), 0.0, a)
+
     if use_pallas:
         from ..ops.pallas_distance import dist_argmin
 
-        _, bmu = dist_argmin(xb, codes)
-        if update == "sum" and xdim is not None:
+        _, bmu = dist_argmin(xb, codes, mask=mask)
+        if fixed_bmu is not None:
+            bmu = jnp.where(fixed_bmu >= 0, fixed_bmu, bmu)
+        if xdim is not None:
             # fully fused path: neither W (B, noc) nor (., 2) coordinate
             # arrays ever exist
             from ..ops.pallas_som import som_neighborhood_update_idx
 
             return som_neighborhood_update_idx(
-                codes, xb, bmu, xdim, hexa, alpha, radius, gaussian=gaussian
+                codes, xb, bmu, xdim, hexa, a, radius, gaussian=gaussian,
+                mask=mask,
             )
     else:
         from ..ops.distance import find_winners
 
-        bmu, _ = find_winners(xb, codes)
-    W = neighborhood_matrix(coords, bmu, radius, alpha, gaussian)  # (B, noc)
-    wx = jax.lax.dot_general(
-        W, xb, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )  # (noc, D)
-    wsum = jnp.sum(W, axis=0)[:, None]  # (noc, 1)
-    if update == "mean":
-        target = wx / jnp.where(wsum > 0, wsum, 1.0)
-        blend = jnp.minimum(wsum, 1.0)
-        return jnp.where(wsum > 0, codes + blend * (target - codes), codes)
+        bmu, _ = find_winners(xb, codes, mask)
+        if fixed_bmu is not None:
+            bmu = jnp.where(fixed_bmu >= 0, fixed_bmu, bmu)
+    W = neighborhood_matrix(coords, bmu, radius, a, gaussian)  # (B, noc)
+    if mask is not None:
+        keep = 1.0 - mask.astype(jnp.float32)
+        wx = jax.lax.dot_general(
+            W, xb * keep, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (noc, D)
+        # per-(unit, comp) weight mass: masked comps contribute nothing
+        wsum = jax.lax.dot_general(
+            W, keep, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (noc, D)
+    else:
+        wx = jax.lax.dot_general(
+            W, xb, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (noc, D)
+        wsum = jnp.sum(W, axis=0)[:, None]  # (noc, 1)
     return _guarded_sum_update(codes, wx, wsum)
 
 
@@ -161,23 +199,28 @@ def olvq1_batch_step(
     xlabels: jnp.ndarray,
     clip: float = 0.3,
     use_pallas: bool = True,
+    mask: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """One minibatch olvq1 step: winners for B samples, signed
     segment-sum update, per-code alpha adaptation (lvq_rout.c:650-673
-    batched; winners sharing a code within the batch accumulate)."""
+    batched; winners sharing a code within the batch accumulate).
+    `mask` (B, D) excludes masked comps from the winner distance and the
+    update (lvq_pak.c:63-72, :349-356)."""
     if use_pallas:
         from ..ops.pallas_distance import dist_argmin
 
-        _, bmu = dist_argmin(xb, codes)
+        _, bmu = dist_argmin(xb, codes, mask=mask)
     else:
         from ..ops.distance import find_winners
 
-        bmu, _ = find_winners(xb, codes)
+        bmu, _ = find_winners(xb, codes, mask)
     noc = codes.shape[0]
     correct = code_labels[bmu] == xlabels  # (B,)
     a = alphas[bmu]
     sign = jnp.where(correct, a, -a)  # (B,)
     delta = sign[:, None] * (xb - codes[bmu])
+    if mask is not None:
+        delta = jnp.where(mask != 0, 0.0, delta)
     upd = jax.ops.segment_sum(delta, bmu, num_segments=noc)
     ncorrect = jax.ops.segment_sum(correct.astype(jnp.float32), bmu, num_segments=noc)
     nwrong = jax.ops.segment_sum((~correct).astype(jnp.float32), bmu, num_segments=noc)
@@ -201,21 +244,25 @@ def lvq1_batch_step(
     xlabels: jnp.ndarray,
     alpha,
     use_pallas: bool = True,
+    mask: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """One minibatch lvq1 step: signed segment-sum toward/away from the
-    winner (lvq1_training, lvq_rout.c:498-577 batched)."""
+    winner (lvq1_training, lvq_rout.c:498-577 batched); `mask` as in
+    olvq1_batch_step."""
     if use_pallas:
         from ..ops.pallas_distance import dist_argmin
 
-        _, bmu = dist_argmin(xb, codes)
+        _, bmu = dist_argmin(xb, codes, mask=mask)
     else:
         from ..ops.distance import find_winners
 
-        bmu, _ = find_winners(xb, codes)
+        bmu, _ = find_winners(xb, codes, mask)
     noc = codes.shape[0]
     correct = code_labels[bmu] == xlabels
     sign = jnp.where(correct, alpha, -alpha)
     delta = sign[:, None] * (xb - codes[bmu])
+    if mask is not None:
+        delta = jnp.where(mask != 0, 0.0, delta)
     return codes + jax.ops.segment_sum(delta, bmu, num_segments=noc)
 
 
@@ -230,18 +277,20 @@ def lvq23_batch_step(
     epsilon=0.0,
     lvq3: bool = False,
     use_pallas: bool = True,
+    mask: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """One minibatch lvq2.1/lvq3 step: fused top-2 winner search, the
     window predicate d1/d2 > (1-w)/(1+w), and the signed pair update
-    (lvq_rout.c:702-916 batched).  lvq3 adds the same-class epsilon pull."""
+    (lvq_rout.c:702-916 batched).  lvq3 adds the same-class epsilon pull.
+    `mask` as in olvq1_batch_step."""
     if use_pallas:
         from ..ops.pallas_distance import dist_top2
 
-        d1, i1, d2, i2 = dist_top2(xb, codes)
+        d1, i1, d2, i2 = dist_top2(xb, codes, mask=mask)
     else:
         from ..ops.distance import topk_winners
 
-        idx, vals = topk_winners(xb, codes, 2)
+        idx, vals = topk_winners(xb, codes, 2, mask)
         i1, i2 = idx[:, 0], idx[:, 1]
         d1, d2 = vals[:, 0], vals[:, 1]
     noc = codes.shape[0]
@@ -257,18 +306,19 @@ def lvq23_batch_step(
     b_idx = jnp.where(swap, i2, i1)
     nb_idx = jnp.where(swap, i1, i2)
     a_b = jnp.where(window_rule, alpha, 0.0)
+    keep = 1.0 if mask is None else (1.0 - mask.astype(jnp.float32))
     delta = jax.ops.segment_sum(
-        a_b[:, None] * (xb - codes[b_idx]), b_idx, num_segments=noc
+        a_b[:, None] * keep * (xb - codes[b_idx]), b_idx, num_segments=noc
     ) + jax.ops.segment_sum(
-        -a_b[:, None] * (xb - codes[nb_idx]), nb_idx, num_segments=noc
+        -a_b[:, None] * keep * (xb - codes[nb_idx]), nb_idx, num_segments=noc
     )
     if lvq3:
         same = (l1 == l2) & (l1 == xlabels)
         ae = jnp.where(same, alpha * epsilon, 0.0)
         delta = delta + jax.ops.segment_sum(
-            ae[:, None] * (xb - codes[i1]), i1, num_segments=noc
+            ae[:, None] * keep * (xb - codes[i1]), i1, num_segments=noc
         ) + jax.ops.segment_sum(
-            ae[:, None] * (xb - codes[i2]), i2, num_segments=noc
+            ae[:, None] * keep * (xb - codes[i2]), i2, num_segments=noc
         )
     return codes + delta
 

@@ -62,17 +62,23 @@ class SOMTrainer:
         if checkpoint_dir is not None:
             self.ckpt = Checkpointer(checkpoint_dir, background=True)
 
-        self._step_fn = None
-        if mesh is not None:
-            from ..parallel.sharded import make_sharded_som_train_step
-
-            self._sharded = make_sharded_som_train_step(
-                mesh, gaussian=self.gaussian, use_pallas=use_pallas
-            )
+        self._sharded_cache = {}
 
     # -- internals -------------------------------------------------------
 
-    def _one_step(self, M, xb, a, r):
+    def _sharded_step(self, flags):
+        """Sharded step closure for (masked, weighted, fixed) flags."""
+        if flags not in self._sharded_cache:
+            from ..parallel.sharded import make_sharded_som_train_step
+
+            masked, weighted, fixed = flags
+            self._sharded_cache[flags] = make_sharded_som_train_step(
+                self.mesh, gaussian=self.gaussian, use_pallas=self.use_pallas,
+                masked=masked, weighted=weighted, fixed=fixed,
+            )
+        return self._sharded_cache[flags]
+
+    def _one_step(self, M, xb, a, r, mask=None, weights=None, fixed_bmu=None):
         import jax.numpy as jnp
 
         if self.mesh is None:
@@ -82,11 +88,24 @@ class SOMTrainer:
                 use_pallas=self.use_pallas,
                 xdim=self.meta.xdim,
                 hexa=self.meta.topol == Topology.HEXA,
+                mask=mask, weights=weights, fixed_bmu=fixed_bmu,
             )
         from ..parallel.sharded import shard_arrays
 
+        step = self._sharded_step(
+            (mask is not None, weights is not None, fixed_bmu is not None)
+        )
         cs, xs, cl, cf = shard_arrays(self.mesh, M, xb, self.coords)
-        return self._sharded(cs, xs, cl, cf, jnp.float32(a), jnp.float32(r))
+        extras = []
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        import jax
+
+        for arr, spec in ((mask, P("data", None)), (weights, P("data")),
+                          (fixed_bmu, P("data"))):
+            if arr is not None:
+                extras.append(jax.device_put(arr, NamedSharding(self.mesh, spec)))
+        return step(cs, xs, cl, cf, jnp.float32(a), jnp.float32(r), *extras)
 
     # -- API -------------------------------------------------------------
 
@@ -99,11 +118,25 @@ class SOMTrainer:
         alpha_type: str = "linear",
         resume: bool = True,
         progress: Optional[StepTimer] = None,
+        use_weights: bool = False,
+        use_fixed: bool = False,
+        allow_short_stream: bool = False,
     ) -> Dataset:
-        """Train for `rlen` samples (grouped into batches).  `data` is a
-        Dataset (sampled with replacement) or an iterable of chunk
-        Datasets (e.g. StreamingReader.chunks(laps=None)).  With a
-        checkpoint dir and resume=True, continues from the latest step."""
+        """Train for `rlen` samples (grouped into batches).
+
+        `data` is a Dataset — consumed in per-lap shuffled order, the
+        batch analogue of the reference's -rand lap semantics
+        (datafile.c:338-341) — or an iterable of chunk Datasets (e.g.
+        StreamingReader.chunks(laps=N)); chunks prefetch to the device
+        one step ahead.  A stream that runs dry before `rlen` samples
+        raises (pass laps=None for an endless stream, or
+        allow_short_stream=True to accept the truncated run).
+
+        use_weights / use_fixed: honor per-sample weight= / fixed=
+        tokens like the reference trainers (som_rout.c:612-632; off by
+        default like the C -weights/-fixed flags).  Masks always apply.
+        With a checkpoint dir and resume=True, continues from the latest
+        step."""
         import jax
         import jax.numpy as jnp
 
@@ -122,36 +155,130 @@ class SOMTrainer:
                 if st.prng_key is not None:
                     key = jnp.asarray(st.prng_key)
 
+        xdim = self.meta.xdim
+
+        def fixed_flat(ds: Dataset):
+            if not use_fixed or ds.fixed is None:
+                return None
+            fx = ds.fixed
+            return np.where(
+                (fx[:, 0] >= 0) & (fx[:, 1] >= 0),
+                fx[:, 1] * xdim + fx[:, 0], -1,
+            ).astype(np.int32)
+
         if isinstance(data, Dataset):
             X = jnp.asarray(data.points)
+            mk = None if data.mask is None else jnp.asarray(data.mask)
+            wt = (jnp.asarray(data.weight)
+                  if use_weights and data.weight is not None else None)
+            ff = fixed_flat(data)
+            ff = None if ff is None else jnp.asarray(ff)
             n = data.n
 
             def batches():
-                nonlocal key
+                # per-lap shuffled order: lap l is an independent
+                # permutation of all n samples, batches cut from the
+                # concatenated laps (resume-safe: lap perms derive from
+                # fold_in(seed, lap), not from consumed key state)
                 for b in range(start, nb):
-                    key, sub = jax.random.split(key)
-                    idx = jax.random.randint(sub, (self.batch_size,), 0, n)
-                    yield b, X[idx]
+                    lo = b * self.batch_size
+                    idx_np = np.empty((self.batch_size,), dtype=np.int64)
+                    got = 0
+                    while got < self.batch_size:
+                        lap, off = divmod(lo + got, n)
+                        perm = jax.random.permutation(
+                            jax.random.fold_in(key, lap), n
+                        )
+                        take = min(self.batch_size - got, n - off)
+                        idx_np[got:got + take] = np.asarray(perm[off:off + take])
+                        got += take
+                    idx = jnp.asarray(idx_np)
+                    yield (b, X[idx],
+                           None if mk is None else mk[idx],
+                           None if wt is None else wt[idx],
+                           None if ff is None else ff[idx])
         else:
             chunk_iter = iter(data)
 
             def batches():
-                buf = None
-                b = start
-                while b < nb:
-                    try:
-                        chunk = next(chunk_iter)
-                    except StopIteration:
-                        return
-                    arr = jnp.asarray(chunk.points)
-                    buf = arr if buf is None else jnp.concatenate([buf, arr])
-                    while buf.shape[0] >= self.batch_size and b < nb:
-                        yield b, buf[: self.batch_size]
-                        buf = buf[self.batch_size:]
-                        b += 1
+                import jax
 
-        for b, xb in batches():
-            M = self._one_step(M, xb, talp[b], trad[b])
+                def put(chunk):
+                    """Start the host->device transfers for a chunk
+                    (async: overlaps the previous step's compute)."""
+                    return (
+                        jax.device_put(np.ascontiguousarray(chunk.points)),
+                        (None if chunk.mask is None
+                         else jax.device_put(chunk.mask)),
+                        (None if not use_weights or chunk.weight is None
+                         else jax.device_put(chunk.weight)),
+                        (None if fixed_flat(chunk) is None
+                         else jax.device_put(fixed_flat(chunk))),
+                        chunk.n,
+                    )
+
+                def next_chunk():
+                    try:
+                        return put(next(chunk_iter))
+                    except StopIteration:
+                        return None
+
+                bufs = []  # list of (X, mk, wt, ff, n) device tuples
+                buffered = 0
+                b = start
+                pending = next_chunk()  # one chunk in flight ahead
+                while b < nb:
+                    while buffered < self.batch_size:
+                        if pending is None:
+                            if allow_short_stream:
+                                return
+                            raise RuntimeError(
+                                f"input stream exhausted at batch {b}/{nb} "
+                                f"({buffered} samples buffered, "
+                                f"{self.batch_size} needed): size laps to "
+                                "cover rlen, pass laps=None, or set "
+                                "allow_short_stream=True"
+                            )
+                        bufs.append(pending)
+                        buffered += pending[-1]
+                        pending = next_chunk()  # prefetch the next one
+
+                    def cat(i, pad):
+                        parts = [t[i] for t in bufs]
+                        if any(p is None for p in parts):
+                            if all(p is None for p in parts):
+                                return None
+                            # mixed chunks: substitute neutral values
+                            parts = [
+                                (p if p is not None
+                                 else jnp.full((t[-1],) + pad[1], pad[0],
+                                               dtype=pad[2]))
+                                for p, t in zip(parts, bufs)
+                            ]
+                        return jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+
+                    D = bufs[0][0].shape[1]
+                    X = cat(0, (0.0, (D,), jnp.float32))
+                    mk = cat(1, (0, (D,), jnp.uint8))
+                    wt = cat(2, (0.0, (), jnp.float32))
+                    ff = cat(3, (-1, (), jnp.int32))
+                    while buffered >= self.batch_size and b < nb:
+                        s = self.batch_size
+                        yield (b, X[:s],
+                               None if mk is None else mk[:s],
+                               None if wt is None else wt[:s],
+                               None if ff is None else ff[:s])
+                        X = X[s:]
+                        mk = None if mk is None else mk[s:]
+                        wt = None if wt is None else wt[s:]
+                        ff = None if ff is None else ff[s:]
+                        buffered -= s
+                        b += 1
+                    bufs = [(X, mk, wt, ff, buffered)]
+
+        for b, xb, mk_b, wt_b, ff_b in batches():
+            M = self._one_step(M, xb, talp[b], trad[b],
+                               mask=mk_b, weights=wt_b, fixed_bmu=ff_b)
             if progress is not None:
                 progress.step(self.batch_size)
             if (
@@ -232,15 +359,18 @@ class OLVQ1Trainer:
 
         X = jnp.asarray(data.points)
         xlab = jnp.asarray(data.first_labels())
+        mk = None if data.mask is None else jnp.asarray(data.mask)
         n = data.n
         for b in range(start, nb):
             key, sub = jax.random.split(key)
             idx = jax.random.randint(sub, (self.batch_size,), 0, n)
             xb, xl = X[idx], xlab[idx]
+            mb = None if mk is None else mk[idx]
             if self.mesh is None:
                 M, alphas = olvq1_batch_step(M, clabels, alphas, xb, xl,
                                              clip=self.clip,
-                                             use_pallas=self.use_pallas)
+                                             use_pallas=self.use_pallas,
+                                             mask=mb)
             else:
                 from jax.sharding import NamedSharding, PartitionSpec as P
 

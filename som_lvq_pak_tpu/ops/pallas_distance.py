@@ -38,6 +38,25 @@ def _round_up(x: int, m: int) -> int:
     return _cdiv(x, m) * m
 
 
+def _argmin_epilogue(d, j, tile_n, val_ref, idx_ref):
+    """Fold a tile's (TB, TN) partial distances into the running
+    (min, argmin); strict <: the first (lowest-index) tile wins ties,
+    matching the C scan (lvq_pak.c:79)."""
+    local_min = jnp.min(d, axis=1, keepdims=True)  # (TB, 1)
+    local_arg = jnp.argmin(d, axis=1)[:, None] + j * tile_n  # (TB, 1)
+
+    @pl.when(j == 0)
+    def _():
+        val_ref[:] = local_min
+        idx_ref[:] = local_arg
+
+    @pl.when(j > 0)
+    def _():
+        better = local_min < val_ref[:]
+        idx_ref[:] = jnp.where(better, local_arg, idx_ref[:])
+        val_ref[:] = jnp.where(better, local_min, val_ref[:])
+
+
 def _dist_argmin_kernel(x_ref, m_ref, m2_ref, val_ref, idx_ref, *, tile_n: int,
                         precision=None):
     j = pl.program_id(1)
@@ -49,20 +68,32 @@ def _dist_argmin_kernel(x_ref, m_ref, m2_ref, val_ref, idx_ref, *, tile_n: int,
         precision=precision,
     )
     d = m2_ref[:] - 2.0 * xm  # (TB, TN); m2 broadcast from (1, TN)
+    _argmin_epilogue(d, j, tile_n, val_ref, idx_ref)
 
-    local_min = jnp.min(d, axis=1, keepdims=True)  # (TB, 1)
-    local_arg = jnp.argmin(d, axis=1)[:, None] + j * tile_n  # (TB, 1)
 
-    @pl.when(j == 0)
-    def _():
-        val_ref[:] = local_min
-        idx_ref[:] = local_arg
-
-    @pl.when(j > 0)
-    def _():
-        better = local_min < val_ref[:]  # strict <: first tile wins ties
-        idx_ref[:] = jnp.where(better, local_arg, idx_ref[:])
-        val_ref[:] = jnp.where(better, local_min, val_ref[:])
+def _dist_argmin_masked_kernel(x_ref, k_ref, m_ref, bias_ref, val_ref, idx_ref,
+                               *, tile_n: int, precision=None):
+    """Masked-component winner search (SURVEY.md §7 hard part 6): the
+    sample's ||m||^2 term depends on its mask, so the broadcast m2 row
+    becomes a second MXU contraction  keep @ (M^2)^T  — M^2 computed from
+    the codebook tile already resident in VMEM, so the masked path costs
+    2x FLOPs but zero extra HBM traffic (exactly the reference's
+    skip-masked-comps semantics, lvq_pak.c:63-72)."""
+    j = pl.program_id(1)
+    x = x_ref[:]  # (TB, D) — masked comps pre-zeroed (x * keep)
+    k = k_ref[:]  # (TB, D) keep floats (1 = use the component)
+    m = m_ref[:]  # (TN, D)
+    xm = jax.lax.dot_general(
+        x, m, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=precision,
+    )
+    km2 = jax.lax.dot_general(
+        k, m * m, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=precision,
+    )
+    # bias = 0 for real codebook rows, +inf for padding rows
+    d = bias_ref[:] + km2 - 2.0 * xm  # (TB, TN)
+    _argmin_epilogue(d, j, tile_n, val_ref, idx_ref)
 
 
 @functools.partial(jax.jit, static_argnames=("tile_b", "tile_n", "bf16", "interpret", "precision"))
@@ -75,10 +106,17 @@ def dist_argmin(
     bf16: bool = False,
     interpret: Optional[bool] = None,
     precision=None,
+    mask: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fused 1-NN winner search: returns (sq_dists (B,), indices (B,)).
 
     `m2` = precomputed ||m||^2 (N,) float32; recomputed if None.
+
+    `mask` = optional (B, D), nonzero where a component is masked off
+    (excluded from the distance — the reference's 'x' missing-value
+    semantics, lvq_pak.c:63-72).  The masked path fuses the per-sample
+    keep @ (M^2)^T correction as a second MXU contraction in the same
+    kernel; `m2` is ignored.
 
     `precision`: the MXU contraction precision.  The default (None) runs
     the dot at the TPU's native matmul precision — measured 2.4e12
@@ -94,7 +132,8 @@ def dist_argmin(
     if interpret is None:
         # Mosaic only compiles on TPU; fall back to the interpreter on CPU
         interpret = jax.default_backend() == "cpu"
-    if m2 is None:
+    masked = mask is not None
+    if m2 is None and not masked:
         m2 = jnp.sum(codes.astype(jnp.float32) ** 2, axis=-1)
 
     tile_b = min(tile_b, _round_up(B, 8))
@@ -103,6 +142,9 @@ def dist_argmin(
     Np = _round_up(N, tile_n)
     Dp = _round_up(D, 128)
 
+    if masked:
+        keep = 1.0 - mask.astype(jnp.float32)
+        x = x * keep  # zero masked comps (usually already zero in the file)
     if (Bp, Dp) == x.shape:
         xp = x
     else:
@@ -111,24 +153,14 @@ def dist_argmin(
         mp = codes
     else:
         mp = jnp.zeros((Np, Dp), dtype=codes.dtype).at[:N, :D].set(codes)
-    # padded codebook rows get +inf norm so they can never win
-    if Np == N:
-        m2p = m2.reshape(1, N)
-    else:
-        m2p = jnp.full((1, Np), jnp.inf, dtype=jnp.float32).at[0, :N].set(m2)
     if bf16:
         xp = xp.astype(jnp.bfloat16)
         mp = mp.astype(jnp.bfloat16)
 
     grid = (Bp // tile_b, Np // tile_n)
-    val, idx = pl.pallas_call(
-        functools.partial(_dist_argmin_kernel, tile_n=tile_n, precision=precision),
+    row_spec = pl.BlockSpec((1, tile_n), lambda i, j: (0, j), memory_space=pltpu.VMEM)
+    common = dict(
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((tile_b, Dp), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_n, Dp), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_n), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-        ],
         out_specs=[
             pl.BlockSpec((tile_b, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_b, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
@@ -137,35 +169,61 @@ def dist_argmin(
             jax.ShapeDtypeStruct((Bp, 1), jnp.float32),
             jax.ShapeDtypeStruct((Bp, 1), jnp.int32),
         ],
-        cost_estimate=pl.CostEstimate(
-            flops=2 * Bp * Np * Dp,
-            bytes_accessed=(Bp * Dp + Np * Dp + 2 * Bp) * 4,
-            transcendentals=0,
-        ),
         interpret=interpret,
-    )(xp, mp, m2p)
+    )
+    if masked:
+        kp = jnp.zeros((Bp, Dp), dtype=xp.dtype).at[:B, :D].set(
+            keep.astype(xp.dtype))
+        # bias row: 0 for real codebook rows, +inf for padding rows
+        biasp = jnp.where(
+            jax.lax.broadcasted_iota(jnp.int32, (1, Np), 1) < N, 0.0, jnp.inf
+        ).astype(jnp.float32)
+        val, idx = pl.pallas_call(
+            functools.partial(_dist_argmin_masked_kernel, tile_n=tile_n,
+                              precision=precision),
+            in_specs=[
+                pl.BlockSpec((tile_b, Dp), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile_b, Dp), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile_n, Dp), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+                row_spec,
+            ],
+            cost_estimate=pl.CostEstimate(
+                flops=4 * Bp * Np * Dp,
+                bytes_accessed=(2 * Bp * Dp + Np * Dp + 2 * Bp) * 4,
+                transcendentals=0,
+            ),
+            **common,
+        )(xp, kp, mp, biasp)
+    else:
+        # padded codebook rows get +inf norm so they can never win
+        if Np == N:
+            m2p = m2.reshape(1, N)
+        else:
+            m2p = jnp.full((1, Np), jnp.inf, dtype=jnp.float32).at[0, :N].set(m2)
+        val, idx = pl.pallas_call(
+            functools.partial(_dist_argmin_kernel, tile_n=tile_n, precision=precision),
+            in_specs=[
+                pl.BlockSpec((tile_b, Dp), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile_n, Dp), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+                row_spec,
+            ],
+            cost_estimate=pl.CostEstimate(
+                flops=2 * Bp * Np * Dp,
+                bytes_accessed=(Bp * Dp + Np * Dp + 2 * Bp) * 4,
+                transcendentals=0,
+            ),
+            **common,
+        )(xp, mp, m2p)
 
-    # add back ||x||^2 for true squared distances (clamped at 0)
+    # add back ||x||^2 (over kept comps) for true squared distances
     x2 = jnp.sum(x.astype(jnp.float32) ** 2, axis=-1)
     vals = jnp.maximum(val[:B, 0] + x2, 0.0)
     return vals, idx[:B, 0]
 
 
-def _dist_top2_kernel(x_ref, m_ref, m2_ref, v1_ref, i1_ref, v2_ref, i2_ref,
-                      *, tile_n: int, precision=None):
-    """Fused distance + top-2 epilogue (for lvq2/lvq3's 2-NN rule,
-    lvq_rout.c:750,855).  Keeps the running (best, second) pair per row
-    across codebook tiles."""
-    j = pl.program_id(1)
-    x = x_ref[:]
-    m = m_ref[:]
-    xm = jax.lax.dot_general(
-        x, m, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-        precision=precision,
-    )
-    d = m2_ref[:] - 2.0 * xm  # (TB, TN)
-
-    tb = d.shape[0]
+def _top2_epilogue(d, j, tile_n, v1_ref, i1_ref, v2_ref, i2_ref):
+    """Fold a tile's (TB, TN) partial distances into the running
+    (best, second) pair per row across codebook tiles."""
     col = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
     a1 = jnp.argmin(d, axis=1)[:, None]  # (TB, 1) local best
     b1 = jnp.min(d, axis=1, keepdims=True)
@@ -206,6 +264,38 @@ def _dist_top2_kernel(x_ref, m_ref, m2_ref, v1_ref, i1_ref, v2_ref, i2_ref,
         i2_ref[:] = jnp.where(new_best, ni2_new, ni2_old)
 
 
+def _dist_top2_kernel(x_ref, m_ref, m2_ref, v1_ref, i1_ref, v2_ref, i2_ref,
+                      *, tile_n: int, precision=None):
+    """Fused distance + top-2 epilogue (for lvq2/lvq3's 2-NN rule,
+    lvq_rout.c:750,855)."""
+    j = pl.program_id(1)
+    xm = jax.lax.dot_general(
+        x_ref[:], m_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision,
+    )
+    d = m2_ref[:] - 2.0 * xm  # (TB, TN)
+    _top2_epilogue(d, j, tile_n, v1_ref, i1_ref, v2_ref, i2_ref)
+
+
+def _dist_top2_masked_kernel(x_ref, k_ref, m_ref, bias_ref,
+                             v1_ref, i1_ref, v2_ref, i2_ref,
+                             *, tile_n: int, precision=None):
+    """Masked top-2: per-sample keep @ (M^2)^T correction fused as a
+    second contraction (see _dist_argmin_masked_kernel)."""
+    j = pl.program_id(1)
+    m = m_ref[:]
+    xm = jax.lax.dot_general(
+        x_ref[:], m, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision,
+    )
+    km2 = jax.lax.dot_general(
+        k_ref[:], m * m, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision,
+    )
+    d = bias_ref[:] + km2 - 2.0 * xm
+    _top2_epilogue(d, j, tile_n, v1_ref, i1_ref, v2_ref, i2_ref)
+
+
 @functools.partial(jax.jit, static_argnames=("tile_b", "tile_n", "interpret", "precision"))
 def dist_top2(
     x: jnp.ndarray,
@@ -215,6 +305,7 @@ def dist_top2(
     tile_n: int = 512,
     interpret: Optional[bool] = None,
     precision=None,
+    mask: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Fused 2-NN winner search: returns (d1, i1, d2, i2), each (B,) —
     true squared distances of the best and second-best codes.
@@ -222,12 +313,15 @@ def dist_top2(
     Tie order between exactly-equal distances is lowest-index-first
     (the C insertion rule orders ties later-index-first — parity paths
     use ops.exact; this kernel is the throughput path).  `precision` as
-    in dist_argmin: None = native MXU precision, HIGHEST = exact f32."""
+    in dist_argmin: None = native MXU precision, HIGHEST = exact f32.
+    `mask` (B, D) nonzero = component masked off; fused like
+    dist_argmin's masked path."""
     B, D = x.shape
     N, _ = codes.shape
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    if m2 is None:
+    masked = mask is not None
+    if m2 is None and not masked:
         m2 = jnp.sum(codes.astype(jnp.float32) ** 2, axis=-1)
 
     tile_b = min(tile_b, _round_up(B, 8))
@@ -236,19 +330,15 @@ def dist_top2(
     Np = _round_up(N, tile_n)
     Dp = _round_up(D, 128)
 
+    if masked:
+        keep = 1.0 - mask.astype(jnp.float32)
+        x = x * keep
     xp = jnp.zeros((Bp, Dp), dtype=x.dtype).at[:B, :D].set(x)
     mp = jnp.zeros((Np, Dp), dtype=codes.dtype).at[:N, :D].set(codes)
-    m2p = jnp.full((1, Np), jnp.inf, dtype=jnp.float32).at[0, :N].set(m2)
 
     grid = (Bp // tile_b, Np // tile_n)
-    out = pl.pallas_call(
-        functools.partial(_dist_top2_kernel, tile_n=tile_n, precision=precision),
+    common = dict(
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((tile_b, Dp), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_n, Dp), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_n), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-        ],
         out_specs=[
             pl.BlockSpec((tile_b, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
         ] * 4,
@@ -258,13 +348,46 @@ def dist_top2(
             jax.ShapeDtypeStruct((Bp, 1), jnp.float32),
             jax.ShapeDtypeStruct((Bp, 1), jnp.int32),
         ],
-        cost_estimate=pl.CostEstimate(
-            flops=2 * Bp * Np * Dp,
-            bytes_accessed=(Bp * Dp + Np * Dp + 4 * Bp) * 4,
-            transcendentals=0,
-        ),
         interpret=interpret,
-    )(xp, mp, m2p)
+    )
+    row_spec = pl.BlockSpec((1, tile_n), lambda i, j: (0, j), memory_space=pltpu.VMEM)
+    if masked:
+        kp = jnp.zeros((Bp, Dp), dtype=xp.dtype).at[:B, :D].set(keep)
+        biasp = jnp.where(
+            jax.lax.broadcasted_iota(jnp.int32, (1, Np), 1) < N, 0.0, jnp.inf
+        ).astype(jnp.float32)
+        out = pl.pallas_call(
+            functools.partial(_dist_top2_masked_kernel, tile_n=tile_n,
+                              precision=precision),
+            in_specs=[
+                pl.BlockSpec((tile_b, Dp), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile_b, Dp), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile_n, Dp), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+                row_spec,
+            ],
+            cost_estimate=pl.CostEstimate(
+                flops=4 * Bp * Np * Dp,
+                bytes_accessed=(2 * Bp * Dp + Np * Dp + 4 * Bp) * 4,
+                transcendentals=0,
+            ),
+            **common,
+        )(xp, kp, mp, biasp)
+    else:
+        m2p = jnp.full((1, Np), jnp.inf, dtype=jnp.float32).at[0, :N].set(m2)
+        out = pl.pallas_call(
+            functools.partial(_dist_top2_kernel, tile_n=tile_n, precision=precision),
+            in_specs=[
+                pl.BlockSpec((tile_b, Dp), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile_n, Dp), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+                row_spec,
+            ],
+            cost_estimate=pl.CostEstimate(
+                flops=2 * Bp * Np * Dp,
+                bytes_accessed=(Bp * Dp + Np * Dp + 4 * Bp) * 4,
+                transcendentals=0,
+            ),
+            **common,
+        )(xp, mp, m2p)
     v1, i1, v2, i2 = out
     x2 = jnp.sum(x.astype(jnp.float32) ** 2, axis=-1)
     d1 = jnp.maximum(v1[:B, 0] + x2, 0.0)

@@ -62,11 +62,44 @@ def _grid_xy(idx, xdim: int, hexa: bool):
     return x, y
 
 
+def _neighborhood_w(bmu, aw, radius, i, tile_n, xdim, hexa, gaussian):
+    """(TN, TB) neighborhood weights for one (codebook-tile, batch-tile)
+    cell, recomputed on the VPU from grid geometry.  `aw` is the (1, TB)
+    per-sample effective alpha (carries weight= scaling, empty-sample
+    zeroing, and batch padding zeros)."""
+    bx, by = _grid_xy(bmu, xdim, hexa)                 # (1, TB)
+    # local codebook rows' coordinates from the global row index
+    lidx = i * tile_n + jax.lax.broadcasted_iota(jnp.int32, (tile_n, 1), 0)
+    lx, ly = _grid_xy(lidx, xdim, hexa)                # (TN, 1)
+
+    # W computed directly in (TN, TB) orientation: the contraction dim
+    # (TB) lands on W's lanes and X's sublanes, the MXU-native layout
+    dx = lx - bx
+    dy = ly - by
+    d2 = dx * dx + dy * dy                             # (TN, TB)
+    if gaussian:
+        w = aw * jnp.exp(-d2 / (2.0 * radius * radius))
+    else:
+        w = jnp.where(d2 <= radius * radius, aw, 0.0)
+    # padded batch rows carry bmu = -1 -> weight 0 (aw is 0 there too)
+    return jnp.where(bmu < 0, 0.0, w)
+
+
+def _guarded_blend(c, acc, wsum):
+    """Saturating stability guard (models.fast._guarded_sum_update):
+    exact c + acc - wsum*c while wsum <= 1, full blend to the batch
+    weighted mean acc/wsum beyond that."""
+    safe = jnp.maximum(wsum, 1e-30)
+    blend = jnp.minimum(wsum, 1.0)
+    return c + blend * (acc / safe - c)
+
+
 def _som_update_kernel(
     bmu_ref,      # (1, TB)   int32 flat BMU index of each batch sample
+    aw_ref,       # (1, TB)   f32 per-sample effective alpha
     x_ref,        # (TB, D)   batch tile
     codes_ref,    # (TN, D)   codebook tile (input)
-    ar_ref,       # (1, 2)    [alpha, radius]
+    r_ref,        # (1, 1)    radius
     out_ref,      # (TN, D)   updated codebook tile
     acc_ref,      # (TN, D)   f32 scratch: running W^T X
     wsum_ref,     # (TN, 1)   f32 scratch: running W^T 1
@@ -85,27 +118,8 @@ def _som_update_kernel(
         acc_ref[:] = jnp.zeros_like(acc_ref)
         wsum_ref[:] = jnp.zeros_like(wsum_ref)
 
-    alpha = ar_ref[0, 0]
-    radius = ar_ref[0, 1]
-
-    bmu = bmu_ref[:]                                   # (1, TB) int32
-    bx, by = _grid_xy(bmu, xdim, hexa)                 # (1, TB)
-    # local codebook rows' coordinates from the global row index
-    lidx = i * tile_n + jax.lax.broadcasted_iota(jnp.int32, (tile_n, 1), 0)
-    lx, ly = _grid_xy(lidx, xdim, hexa)                # (TN, 1)
-
-    # W computed directly in (TN, TB) orientation: the contraction dim
-    # (TB) lands on W's lanes and X's sublanes, the MXU-native layout
-    dx = lx - bx
-    dy = ly - by
-    d2 = dx * dx + dy * dy                             # (TN, TB)
-    if gaussian:
-        w = alpha * jnp.exp(-d2 / (2.0 * radius * radius))
-    else:
-        w = jnp.where(d2 <= radius * radius, alpha, 0.0)
-    # padded batch rows carry bmu = -1 -> weight 0
-    w = jnp.where(bmu < 0, 0.0, w)
-
+    w = _neighborhood_w(bmu_ref[:], aw_ref[:], r_ref[0, 0], i, tile_n,
+                        xdim, hexa, gaussian)
     acc_ref[:] += jax.lax.dot_general(
         w, x_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
@@ -113,14 +127,50 @@ def _som_update_kernel(
 
     @pl.when(j == n_btiles - 1)
     def _():
-        c = codes_ref[:]
-        # saturating stability guard (models.fast._guarded_sum_update):
-        # exact c + acc - wsum*c while wsum <= 1, full blend to the batch
-        # weighted mean acc/wsum beyond that
-        wsum = wsum_ref[:]
-        safe = jnp.maximum(wsum, 1e-30)
-        blend = jnp.minimum(wsum, 1.0)
-        out_ref[:] = c + blend * (acc_ref[:] / safe - c)
+        out_ref[:] = _guarded_blend(codes_ref[:], acc_ref[:], wsum_ref[:])
+
+
+def _som_update_masked_kernel(
+    bmu_ref,      # (1, TB)   int32 flat BMU index of each batch sample
+    aw_ref,       # (1, TB)   f32 per-sample effective alpha
+    x_ref,        # (TB, D)   batch tile (masked comps pre-zeroed)
+    k_ref,        # (TB, D)   f32 keep flags (1 = component present)
+    codes_ref,    # (TN, D)   codebook tile (input)
+    r_ref,        # (1, 1)    radius
+    out_ref,      # (TN, D)   updated codebook tile
+    acc_ref,      # (TN, D)   f32 scratch: running W^T (K*X)
+    wsum_ref,     # (TN, D)   f32 scratch: running W^T K  (per-component!)
+    *,
+    gaussian: bool,
+    n_btiles: int,
+    tile_n: int,
+    xdim: int,
+    hexa: bool,
+):
+    """Masked-component neighborhood update: a sample's masked comps
+    leave every unit's matching comp untouched (adapt_vector skips masked
+    comps, lvq_pak.c:349-356), so the weight mass wsum becomes
+    per-(unit, component) — a second MXU contraction W^T K."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        wsum_ref[:] = jnp.zeros_like(wsum_ref)
+
+    w = _neighborhood_w(bmu_ref[:], aw_ref[:], r_ref[0, 0], i, tile_n,
+                        xdim, hexa, gaussian)
+    acc_ref[:] += jax.lax.dot_general(
+        w, x_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    wsum_ref[:] += jax.lax.dot_general(
+        w, k_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+    @pl.when(j == n_btiles - 1)
+    def _():
+        out_ref[:] = _guarded_blend(codes_ref[:], acc_ref[:], wsum_ref[:])
 
 
 @functools.partial(
@@ -139,9 +189,16 @@ def som_neighborhood_update_idx(
     tile_b: int = 1024,
     tile_n: int = 1024,
     interpret: Optional[bool] = None,
+    mask: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """codes + sum_b W_b (x_b - codes), W recomputed per tile from the
-    BMU indices and static grid geometry (xdim, hexa)."""
+    BMU indices and static grid geometry (xdim, hexa), saturating-guarded.
+
+    `alpha` is a scalar or a per-sample (B,) vector — the per-sample form
+    carries the reference's weight= scaling 1-(1-a)^w (som_rout.c:622-624)
+    and zeros for empty samples.  `mask` (B, D), nonzero = component
+    masked: that sample leaves every unit's masked comps untouched
+    (lvq_pak.c:349-356) via a per-(unit, comp) weight-mass contraction."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     noc, D = codes.shape
@@ -152,6 +209,10 @@ def som_neighborhood_update_idx(
     Np = _round_up(noc, tile_n)
     Dp = _round_up(D, 128)
 
+    masked = mask is not None
+    if masked:
+        keep = 1.0 - mask.astype(jnp.float32)
+        xb = xb * keep
     if (Bp, Dp) == xb.shape:
         xp = xb
     else:
@@ -160,43 +221,59 @@ def som_neighborhood_update_idx(
         cp = codes
     else:
         cp = jnp.zeros((Np, Dp), dtype=jnp.float32).at[:noc, :D].set(codes)
-    # padded batch entries -> bmu -1 (zero weight in the kernel)
+    # padded batch entries -> bmu -1 and alpha 0 (zero weight in-kernel)
     bp = jnp.full((1, Bp), -1, dtype=jnp.int32).at[0, :B].set(bmu.astype(jnp.int32))
-    ar = jnp.asarray([[alpha, radius]], dtype=jnp.float32)
+    aw = jnp.broadcast_to(jnp.asarray(alpha, dtype=jnp.float32), (B,))
+    awp = jnp.zeros((1, Bp), dtype=jnp.float32).at[0, :B].set(aw)
+    rr = jnp.asarray([[radius]], dtype=jnp.float32)
 
     n_btiles = Bp // tile_b
     grid = (Np // tile_n, n_btiles)
-    out = pl.pallas_call(
-        functools.partial(
-            _som_update_kernel,
-            gaussian=gaussian,
-            n_btiles=n_btiles,
-            tile_n=tile_n,
-            xdim=xdim,
-            hexa=hexa,
-        ),
+    kparams = dict(gaussian=gaussian, n_btiles=n_btiles, tile_n=tile_n,
+                   xdim=xdim, hexa=hexa)
+    row_b = pl.BlockSpec((1, tile_b), lambda i, j: (0, j), memory_space=pltpu.VMEM)
+    batch_spec = pl.BlockSpec((tile_b, Dp), lambda i, j: (j, 0), memory_space=pltpu.VMEM)
+    code_spec = pl.BlockSpec((tile_n, Dp), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
+    r_spec = pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.VMEM)
+    common = dict(
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, tile_b), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_b, Dp), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_n, Dp), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
-        ],
         out_specs=pl.BlockSpec(
             (tile_n, Dp), lambda i, j: (i, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((Np, Dp), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((tile_n, Dp), jnp.float32),
-            pltpu.VMEM((tile_n, 1), jnp.float32),
-        ],
-        cost_estimate=pl.CostEstimate(
-            flops=2 * Bp * Np * Dp,
-            bytes_accessed=(2 * Np * Dp + Bp * Dp + Bp) * 4,
-            transcendentals=Bp * Np if gaussian else 0,
-        ),
         interpret=interpret,
-    )(bp, xp, cp, ar)
+    )
+    if masked:
+        kp = jnp.zeros((Bp, Dp), dtype=jnp.float32).at[:B, :D].set(keep)
+        out = pl.pallas_call(
+            functools.partial(_som_update_masked_kernel, **kparams),
+            in_specs=[row_b, row_b, batch_spec, batch_spec, code_spec, r_spec],
+            scratch_shapes=[
+                pltpu.VMEM((tile_n, Dp), jnp.float32),
+                pltpu.VMEM((tile_n, Dp), jnp.float32),
+            ],
+            cost_estimate=pl.CostEstimate(
+                flops=4 * Bp * Np * Dp,
+                bytes_accessed=(2 * Np * Dp + 2 * Bp * Dp + 2 * Bp) * 4,
+                transcendentals=Bp * Np if gaussian else 0,
+            ),
+            **common,
+        )(bp, awp, xp, kp, cp, rr)
+    else:
+        out = pl.pallas_call(
+            functools.partial(_som_update_kernel, **kparams),
+            in_specs=[row_b, row_b, batch_spec, code_spec, r_spec],
+            scratch_shapes=[
+                pltpu.VMEM((tile_n, Dp), jnp.float32),
+                pltpu.VMEM((tile_n, 1), jnp.float32),
+            ],
+            cost_estimate=pl.CostEstimate(
+                flops=2 * Bp * Np * Dp,
+                bytes_accessed=(2 * Np * Dp + Bp * Dp + 2 * Bp) * 4,
+                transcendentals=Bp * Np if gaussian else 0,
+            ),
+            **common,
+        )(bp, awp, xp, cp, rr)
     if (Np, Dp) == (noc, D):
         return out
     return out[:noc, :D]

@@ -29,24 +29,26 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def _local_winner(xb, codes_local, use_pallas):
+def _local_winner(xb, codes_local, use_pallas, mask=None):
     if use_pallas:
         from ..ops.pallas_distance import dist_argmin
 
-        return dist_argmin(xb, codes_local)
+        return dist_argmin(xb, codes_local, mask=mask)
     from ..ops.distance import find_winners
 
-    idx, val = find_winners(xb, codes_local)
+    idx, val = find_winners(xb, codes_local, mask)
     return val, idx
 
 
-def sharded_winner_search(xb, codes_local, n_local: int, use_pallas: bool = False):
+def sharded_winner_search(xb, codes_local, n_local: int, use_pallas: bool = False,
+                          mask=None):
     """Inside shard_map: global (val, index) winners for the local batch
     shard against the model-sharded codebook.
 
     Returns (val (Bl,), global_idx (Bl,)). Must be called under a mesh
-    with axes ('data', 'model')."""
-    val_l, idx_l = _local_winner(xb, codes_local, use_pallas)
+    with axes ('data', 'model').  `mask` (Bl, D) nonzero = component
+    masked off (lvq_pak.c:63-72)."""
+    val_l, idx_l = _local_winner(xb, codes_local, use_pallas, mask)
     shard = jax.lax.axis_index("model")
     gidx_l = idx_l.astype(jnp.int32) + shard.astype(jnp.int32) * n_local
     vals = jax.lax.all_gather(val_l, "model")  # (S, Bl)
@@ -60,6 +62,7 @@ def sharded_winner_search(xb, codes_local, n_local: int, use_pallas: bool = Fals
 def sharded_som_step(
     codes_local, xb_local, coords_local, coords_full, alpha, radius,
     gaussian: bool, use_pallas: bool = False,
+    mask_local=None, weights_local=None, fixed_local=None,
 ):
     """One sharded minibatch SOM step (runs inside shard_map).
 
@@ -67,21 +70,47 @@ def sharded_som_step(
     xb_local:    (B/Dd, D) on the data axis
     coords_local:(noc/S, 2) unit coords of the local codebook rows
     coords_full: (noc, 2) replicated unit coords (for BMU lookup)
+    mask_local / weights_local / fixed_local: optional per-sample shards
+    on the data axis — mask (Bl, D) nonzero = comp masked, weights (Bl,)
+    scale alpha as 1-(1-a)^w, fixed (Bl,) int32 >= 0 bypasses winner
+    search (som_rout.c:612-640 on the batch path).
     """
     n_local = codes_local.shape[0]
-    _, bmu = sharded_winner_search(xb_local, codes_local, n_local, use_pallas)
+    if mask_local is not None:
+        keep = 1.0 - mask_local.astype(jnp.float32)
+        xb_use = xb_local * keep
+        _, bmu = sharded_winner_search(xb_use, codes_local, n_local, use_pallas,
+                                       mask=mask_local)
+    else:
+        keep = None
+        xb_use = xb_local
+        _, bmu = sharded_winner_search(xb_local, codes_local, n_local, use_pallas)
+    if fixed_local is not None:
+        bmu = jnp.where(fixed_local >= 0, fixed_local, bmu)
+    # per-sample effective alpha (weight= scaling; empty samples -> 0)
+    a = jnp.broadcast_to(jnp.asarray(alpha, jnp.float32), xb_local.shape[:1])
+    if weights_local is not None:
+        w = jnp.where(weights_local > 0.0, weights_local, 1.0).astype(jnp.float32)
+        a = 1.0 - jnp.power(1.0 - a, w)
+    if mask_local is not None:
+        a = jnp.where(jnp.all(mask_local != 0, axis=-1), 0.0, a)
     # W columns for local rows only: distances bmu-coord -> local coords
     c = coords_full[bmu]  # (Bl, 2)
     d = c[:, None, :] - coords_local[None, :, :]
     d2 = jnp.sum(d * d, axis=-1)  # (Bl, noc/S)
     if gaussian:
-        W = alpha * jnp.exp(-d2 / (2.0 * radius * radius))
+        W = a[:, None] * jnp.exp(-d2 / (2.0 * radius * radius))
     else:
-        W = jnp.where(d2 <= radius * radius, alpha, 0.0)
+        W = jnp.where(d2 <= radius * radius, a[:, None], 0.0)
     wx = jax.lax.dot_general(
-        W, xb_local, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        W, xb_use, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )  # (noc/S, D)
-    wsum = jnp.sum(W, axis=0)[:, None]
+    if keep is not None:
+        wsum = jax.lax.dot_general(
+            W, keep, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (noc/S, D) per-component weight mass
+    else:
+        wsum = jnp.sum(W, axis=0)[:, None]
     # combine partial accumulators over the data axis
     wx = jax.lax.psum(wx, "data")
     wsum = jax.lax.psum(wsum, "data")
@@ -191,26 +220,43 @@ def make_dim_sharded_winner(mesh: Mesh) -> Callable:
 
 
 def make_sharded_som_train_step(
-    mesh: Mesh, gaussian: bool, use_pallas: bool = False
+    mesh: Mesh, gaussian: bool, use_pallas: bool = False,
+    masked: bool = False, weighted: bool = False, fixed: bool = False,
 ) -> Callable:
     """Build a jitted sharded train step:
-    step(codes (noc, D), xb (B, D), coords (noc, 2), alpha, radius) ->
-    codes, with codes sharded P('model', None) and xb P('data', None)."""
-    shard_map = jax.shard_map
-
+    step(codes (noc, D), xb (B, D), coords (noc, 2), alpha, radius,
+    [mask (B, D)], [weights (B,)], [fixed_bmu (B,)]) -> codes, with codes
+    sharded P('model', None), per-sample arrays P('data', ...).  The
+    optional trailing args appear in that order for whichever of
+    masked/weighted/fixed are True."""
     fn = functools.partial(sharded_som_step, gaussian=gaussian, use_pallas=use_pallas)
-    smapped = shard_map(
-        lambda c, x, cl, cf, a, r: fn(c, x, cl, cf, a, r),
+    in_specs = [
+        P("model", None),  # codebook rows
+        P("data", None),  # batch rows
+        P("model", None),  # coords of local rows
+        P(),  # full coords, replicated
+        P(),  # alpha
+        P(),  # radius
+    ]
+    kw_order = []
+    if masked:
+        in_specs.append(P("data", None))
+        kw_order.append("mask_local")
+    if weighted:
+        in_specs.append(P("data"))
+        kw_order.append("weights_local")
+    if fixed:
+        in_specs.append(P("data"))
+        kw_order.append("fixed_local")
+
+    def call(c, x, cl, cf, a, r, *extras):
+        return fn(c, x, cl, cf, a, r, **dict(zip(kw_order, extras)))
+
+    smapped = jax.shard_map(
+        call,
         mesh=mesh,
         check_vma=False,
-        in_specs=(
-            P("model", None),  # codebook rows
-            P("data", None),  # batch rows
-            P("model", None),  # coords of local rows
-            P(),  # full coords, replicated
-            P(),
-            P(),
-        ),
+        in_specs=tuple(in_specs),
         out_specs=P("model", None),
     )
     return jax.jit(smapped)

@@ -127,3 +127,145 @@ def test_large_som_example_regression():
                       sammon_sub=128)
     assert s["map"] == [12, 12]
     check_summary(s)
+
+
+# ---------------------------------------------------------------------------
+# Masks / weight= / fixed= on the fast path (lvq_pak.c:63-72, :349-356,
+# som_rout.c:612-640) — fast-vs-parity on the golden fixtures
+# ---------------------------------------------------------------------------
+
+def test_fast_masked_winners_match_parity(golden_dir):
+    """Pallas masked dist_argmin and XLA find_winners both equal the
+    exact parity scan on the real masked fixture."""
+    from som_lvq_pak_tpu.ops import exact
+    from som_lvq_pak_tpu.ops.distance import find_winners
+    from som_lvq_pak_tpu.ops.pallas_distance import dist_argmin
+
+    data = read_data(os.path.join(golden_dir, "wmask.dat"))
+    codes = read_data(os.path.join(golden_dir, "wmask_r.cod"))
+    want = np.array([
+        exact.find_winner_euc(x, codes.points, m)[0]
+        for x, m in zip(data.points, data.mask)
+    ])
+    X, M = jnp.asarray(data.points), jnp.asarray(codes.points)
+    mk = jnp.asarray(data.mask)
+    idx_xla, _ = find_winners(X, M, mk)
+    np.testing.assert_array_equal(np.asarray(idx_xla), want)
+    _, idx_pl = dist_argmin(X, M, mask=mk, tile_b=32, tile_n=128)
+    np.testing.assert_array_equal(np.asarray(idx_pl), want)
+
+
+def test_som_batch_step_masked_weighted_pallas_matches_xla(golden_dir):
+    """Fused Pallas step == XLA step on masked+weighted data (both carry
+    the per-(unit, comp) weight-mass semantics)."""
+    from som_lvq_pak_tpu.models.fast import som_batch_step, unit_coords
+
+    data = read_data(os.path.join(golden_dir, "wmask.dat"))
+    codes = read_data(os.path.join(golden_dir, "wmask_r.cod"))
+    coords = unit_coords(6, 5, hexa=True)
+    M = jnp.asarray(codes.points)
+    X = jnp.asarray(data.points)
+    mk = jnp.asarray(data.mask)
+    wt = jnp.asarray(data.weights_or_ones())
+    kw = dict(gaussian=True, update="sum", mask=mk, weights=wt)
+    out_xla = som_batch_step(M, X, coords, 0.05, 2.0, use_pallas=False, **kw)
+    out_pl = som_batch_step(M, X, coords, 0.05, 2.0, use_pallas=True,
+                            xdim=6, hexa=True, **kw)
+    np.testing.assert_allclose(np.asarray(out_pl), np.asarray(out_xla),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_som_batch_step_masked_comps_untouched(golden_dir):
+    """A component masked in EVERY sample must leave that component of
+    every unit exactly unchanged (adapt_vector skips masked comps)."""
+    from som_lvq_pak_tpu.models.fast import som_batch_step, unit_coords
+
+    data = read_data(os.path.join(golden_dir, "wmask.dat"))
+    codes = read_data(os.path.join(golden_dir, "wmask_r.cod"))
+    coords = unit_coords(6, 5, hexa=True)
+    mk = np.asarray(data.mask).copy()
+    mk[:, 3] = 1  # mask comp 3 everywhere
+    out = som_batch_step(
+        jnp.asarray(codes.points), jnp.asarray(data.points), coords,
+        0.05, 2.0, gaussian=True, use_pallas=False, mask=jnp.asarray(mk),
+    )
+    np.testing.assert_array_equal(np.asarray(out)[:, 3], codes.points[:, 3])
+    assert not np.allclose(np.asarray(out)[:, 0], codes.points[:, 0])
+
+
+def test_som_batch_step_fixed_bypasses_winner(golden_dir):
+    """fixed= samples adapt around their fixed unit, not their winner
+    (som_rout.c:628-632)."""
+    from som_lvq_pak_tpu.models.fast import som_batch_step, unit_coords
+
+    data = read_data(os.path.join(golden_dir, "fix.dat"))
+    codes = read_data(os.path.join(golden_dir, "fix_r.cod"))
+    coords = unit_coords(4, 3, hexa=False)
+    assert data.fixed is not None
+    ff = np.where((data.fixed[:, 0] >= 0) & (data.fixed[:, 1] >= 0),
+                  data.fixed[:, 1] * 4 + data.fixed[:, 0], -1).astype(np.int32)
+    assert (ff >= 0).any()
+    # one fixed sample, radius 0.5 (bubble): only its fixed unit moves
+    s = int(np.nonzero(ff >= 0)[0][0])
+    M = jnp.asarray(codes.points)
+    out = som_batch_step(
+        M, jnp.asarray(data.points[s:s + 1]), coords, 0.5, 0.5,
+        gaussian=False, use_pallas=False, fixed_bmu=jnp.asarray(ff[s:s + 1]),
+    )
+    moved = np.nonzero(np.abs(np.asarray(out) - codes.points).sum(axis=1) > 0)[0]
+    np.testing.assert_array_equal(moved, [ff[s]])
+
+
+def test_somtrainer_masked_weighted_quality(golden_dir):
+    """SOMTrainer on the masked/weighted fixture tracks the parity
+    trainer's qerror on the same schedule."""
+    from som_lvq_pak_tpu.models.som import som_train
+
+    data = read_data(os.path.join(golden_dir, "wmask.dat"))
+    codes = read_data(os.path.join(golden_dir, "wmask_r.cod"))
+    par = som_train(codes, data, rlen=600, alpha=0.05, radius=4,
+                    use_weights=True, mode="parity")
+    q_par = find_qerror(par, data, mode="parity") / data.n
+
+    tr = SOMTrainer(codes, batch_size=16, use_pallas=False, seed=3)
+    fast = tr.fit(data, rlen=600, alpha=0.05, radius=4.0, use_weights=True)
+    q_fast = find_qerror(fast, data, mode="parity") / data.n
+    # NB: on this 120-sample fixture the reference schedule itself ends
+    # slightly above the random-init qerror (the radius-4 ordering phase
+    # contracts a 6x5 map toward the data mean), so the anchor is the
+    # parity trainer's level, not absolute improvement
+    assert np.isfinite(np.asarray(fast.points)).all()
+    assert q_fast < 1.15 * q_par, (q_fast, q_par)
+
+
+def test_olvq1_batch_step_masked_matches_oracle():
+    """Masked olvq1 step vs a NumPy oracle (winner over kept comps,
+    update only on kept comps)."""
+    from som_lvq_pak_tpu.models.fast import olvq1_batch_step
+
+    r = np.random.RandomState(0)
+    B, N, D = 32, 8, 6
+    X = r.randn(B, D).astype(np.float32)
+    M = r.randn(N, D).astype(np.float32)
+    mk = (r.rand(B, D) < 0.3).astype(np.uint8)
+    clab = np.arange(N) % 3 + 1
+    xlab = r.randint(1, 4, B)
+    alphas = np.full(N, 0.3, np.float32)
+
+    keep = 1.0 - mk
+    d = ((keep[:, None, :] * (X[:, None, :] - M[None, :, :])) ** 2).sum(-1)
+    bmu = d.argmin(1)
+    Mref = M.copy()
+    ncor = np.zeros(N); nwr = np.zeros(N)
+    for b in range(B):
+        w = bmu[b]
+        ok = clab[w] == xlab[b]
+        sign = alphas[w] if ok else -alphas[w]
+        Mref[w] += sign * keep[b] * (X[b] - M[w])  # vs PRE-step codes (batched)
+        ncor[w] += ok; nwr[w] += not ok
+    out, _ = olvq1_batch_step(
+        jnp.asarray(M), jnp.asarray(clab), jnp.asarray(alphas),
+        jnp.asarray(X), jnp.asarray(xlab), use_pallas=False,
+        mask=jnp.asarray(mk),
+    )
+    np.testing.assert_allclose(np.asarray(out), Mref, rtol=1e-5, atol=1e-5)
