@@ -200,16 +200,22 @@ def olvq1_batch_step(
     clip: float = 0.3,
     use_pallas: bool = True,
     mask: Optional[jnp.ndarray] = None,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    m2: Optional[jnp.ndarray] = None,
+):
     """One minibatch olvq1 step: winners for B samples, signed
     segment-sum update, per-code alpha adaptation (lvq_rout.c:650-673
     batched; winners sharing a code within the batch accumulate).
     `mask` (B, D) excludes masked comps from the winner distance and the
-    update (lvq_pak.c:63-72, :349-356)."""
+    update (lvq_pak.c:63-72, :349-356).
+
+    `m2` = optional maintained ||m||^2 (N,): passed to the winner kernel
+    (skipping its full-codebook norm recompute) and returned updated as a
+    third output — only the <= B winner rows are re-normed (a (B, D)
+    gather instead of an (N, D) read; the large-N steady-state path)."""
     if use_pallas:
         from ..ops.pallas_distance import dist_argmin
 
-        _, bmu = dist_argmin(xb, codes, mask=mask)
+        _, bmu = dist_argmin(xb, codes, m2=m2, mask=mask)
     else:
         from ..ops.distance import find_winners
 
@@ -233,7 +239,11 @@ def olvq1_batch_step(
     denom = 1.0 - nwrong * new_a
     grown = jnp.where(denom > 1e-6, new_a / jnp.where(denom > 1e-6, denom, 1.0), clip)
     new_a = jnp.where(nwrong > 0, jnp.minimum(grown, clip), new_a)
-    return codes + upd, new_a
+    codes_new = codes + upd
+    if m2 is None:
+        return codes_new, new_a
+    m2_new = m2.at[bmu].set(jnp.sum(codes_new[bmu] ** 2, axis=1))
+    return codes_new, new_a, m2_new
 
 
 @functools.partial(jax.jit, static_argnames=("use_pallas",))

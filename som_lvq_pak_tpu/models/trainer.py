@@ -276,28 +276,95 @@ class SOMTrainer:
                         b += 1
                     bufs = [(X, mk, wt, ff, buffered)]
 
-        for b, xb, mk_b, wt_b, ff_b in batches():
-            M = self._one_step(M, xb, talp[b], trad[b],
-                               mask=mk_b, weights=wt_b, fixed_bmu=ff_b)
-            if progress is not None:
-                progress.step(self.batch_size)
+        # The single-chip Pallas path runs the software-pipelined FUSED
+        # step: update(batch t) + winner-search(batch t+1) in one pass
+        # over the codebook (ops.pallas_som.som_fused_train_step) — one
+        # codebook read + write per step instead of three reads + write.
+        # Masked data falls back to the two-kernel step (the fused kernel
+        # carries no per-component mask).
+        use_fused = (
+            self.mesh is None and self.use_pallas
+            and isinstance(data, Dataset) and data.mask is None
+        )
+        D = self.meta.dim
+
+        def maybe_ckpt(b, M):
             if (
                 self.ckpt is not None
                 and self.checkpoint_interval
                 and (b + 1) % self.checkpoint_interval == 0
             ):
                 self.ckpt.save(TrainState(
-                    codes=np.asarray(M), step=b + 1,
+                    codes=np.asarray(M)[:, :D], step=b + 1,
                     prng_key=np.asarray(key),
                     extra={"alpha": float(alpha), "radius": float(radius)},
                 ))
 
+        if use_fused:
+            import jax
+
+            from ..ops.pallas_distance import dist_argmin
+            from ..ops.pallas_som import som_fused_train_step
+
+            Dp = -(-D // 128) * 128
+            Mp = jnp.zeros((self.meta.n, Dp), jnp.float32).at[:, :D].set(M)
+            hexa = self.meta.topol == Topology.HEXA
+
+            def pad(xb):
+                if xb.shape[1] == Dp:
+                    return xb
+                return jnp.zeros((xb.shape[0], Dp), jnp.float32).at[
+                    :, :xb.shape[1]].set(xb)
+
+            def eff_alpha(b, wt_b, mk_b):
+                a = jnp.full((self.batch_size,), jnp.float32(talp[b]))
+                if wt_b is not None:
+                    w = jnp.where(wt_b > 0.0, wt_b, 1.0).astype(jnp.float32)
+                    a = 1.0 - jnp.power(1.0 - a, w)
+                if mk_b is not None:
+                    a = jnp.where(jnp.all(mk_b != 0, axis=-1), 0.0, a)
+                return a
+
+            it = batches()
+            prev = next(it, None)
+            if prev is not None:
+                xb0 = pad(prev[1])
+                _, bmu = dist_argmin(xb0, Mp)
+                if prev[4] is not None:
+                    bmu = jnp.where(prev[4] >= 0, prev[4], bmu)
+            while prev is not None:
+                b, xb, mk_b, wt_b, ff_b = prev
+                nxt = next(it, None)
+                xb_p = pad(xb)
+                xn_p = pad(nxt[1]) if nxt is not None else xb_p
+                Mp, bmu_next, _ = som_fused_train_step(
+                    Mp, xb_p, bmu, xn_p, self.meta.xdim, hexa,
+                    eff_alpha(b, wt_b, mk_b), jnp.float32(trad[b]),
+                    gaussian=self.gaussian,
+                )
+                if nxt is not None:
+                    bmu = bmu_next
+                    if nxt[4] is not None:
+                        bmu = jnp.where(nxt[4] >= 0, nxt[4], bmu)
+                if progress is not None:
+                    progress.step(self.batch_size)
+                maybe_ckpt(b, Mp)
+                prev = nxt
+            M = Mp[:, :D]
+        else:
+            for b, xb, mk_b, wt_b, ff_b in batches():
+                M = self._one_step(M, xb, talp[b], trad[b],
+                                   mask=mk_b, weights=wt_b, fixed_bmu=ff_b)
+                if progress is not None:
+                    progress.step(self.batch_size)
+                maybe_ckpt(b, M)
+
         if self.ckpt is not None:
             self.ckpt.save(TrainState(
-                codes=np.asarray(M), step=nb, prng_key=np.asarray(key),
+                codes=np.asarray(M)[:, :D], step=nb, prng_key=np.asarray(key),
             ))
             self.ckpt.wait()
-        self.meta = replace(self.meta, points=np.asarray(M), comments=[])
+        self.meta = replace(self.meta, points=np.asarray(M)[:, :D], comments=[])
         return self.meta
 
 

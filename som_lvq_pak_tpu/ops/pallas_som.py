@@ -315,3 +315,181 @@ def som_neighborhood_update(
         codes, xb, bmu, xdim, hexa, alpha, radius,
         gaussian=gaussian, tile_b=tile_b, tile_n=tile_n, interpret=interpret,
     )
+
+
+# ---------------------------------------------------------------------------
+# Fully-fused training step: update(batch t) + winner search(batch t+1)
+# in ONE pass over the codebook
+# ---------------------------------------------------------------------------
+
+def _som_fused_step_kernel(
+    bmu_ref,      # (1, B)    int32 BMU of the CURRENT batch (from step t-1)
+    aw_ref,       # (1, B)    f32 per-sample effective alpha
+    x_ref,        # (B, D)    current batch
+    xn_ref,       # (B', D)   NEXT batch (winner search target)
+    codes_ref,    # (TN, D)   codebook tile (input)
+    r_ref,        # (1, 1)    radius
+    out_ref,      # (TN, D)   updated codebook tile
+    val_ref,      # (B', 1)   next batch: running min partial distance
+    idx_ref,      # (B', 1)   next batch: running argmin
+    *,
+    gaussian: bool,
+    tile_n: int,
+    xdim: int,
+    hexa: bool,
+    precision=None,
+    noc: Optional[int] = None,
+):
+    """One grid step = one codebook tile: apply the neighborhood update
+    for the whole current batch, write the updated tile, then fold the
+    NEXT batch's partial distances against the *updated* tile into the
+    running argmin.  `noc` = real row count when the codebook was padded
+    to a tile multiple (padded rows are masked out of the winner search).  The tile is read from HBM once and written once per
+    training step — versus three reads + one write for the unfused
+    sequence (dist read, ||m||^2 recompute read, update read+write) —
+    and ||m||^2 never exists in HBM at all (computed from the tile in
+    VMEM).  This is the HBM floor for online-minibatch SOM training."""
+    i = pl.program_id(0)
+
+    w = _neighborhood_w(bmu_ref[:], aw_ref[:], r_ref[0, 0], i, tile_n,
+                        xdim, hexa, gaussian)           # (TN, B)
+    acc = jax.lax.dot_general(
+        w, x_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )                                                    # (TN, D)
+    wsum = jnp.sum(w, axis=1)[:, None]                   # (TN, 1)
+    newc = _guarded_blend(codes_ref[:].astype(jnp.float32), acc, wsum)
+    out_ref[:] = newc.astype(out_ref.dtype)
+
+    # winner search for the next batch against the updated tile.  The
+    # distance block is computed TRANSPOSED, (TN, B'): the row norms
+    # ||m||^2 are a (TN, 1) sublane vector broadcasting along lanes —
+    # the (TN,) -> (1, TN) cross-lane relayout of the row-major form
+    # crashes/OOMs the Mosaic compiler inside this fused kernel.
+    m2 = jnp.sum(newc * newc, axis=1, keepdims=True)     # (TN, 1)
+    if noc is not None:
+        # padded codebook rows (global index >= noc) can never win
+        gidx = i * tile_n + jax.lax.broadcasted_iota(jnp.int32, (tile_n, 1), 0)
+        m2 = jnp.where(gidx < noc, m2, jnp.inf)
+    mx = jax.lax.dot_general(
+        newc.astype(xn_ref.dtype), xn_ref[:],
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision,
+    )                                                    # (TN, B')
+    d_t = m2 - 2.0 * mx
+    _fused_argmin_epilogue(d_t, i, tile_n, val_ref, idx_ref)
+
+
+def _fused_argmin_epilogue(d_t, j, tile_n, val_ref, idx_ref):
+    """Transposed-orientation argmin fold: d_t is (TN, B'), the running
+    (min, argmin) rows are (1, B').  Same tie contract as
+    pallas_distance._argmin_epilogue (strict <, first tile wins ties)."""
+    local_min = jnp.min(d_t, axis=0, keepdims=True)              # (1, B')
+    local_arg = jnp.argmin(d_t, axis=0)[None, :] + j * tile_n    # (1, B')
+
+    @pl.when(j == 0)
+    def _():
+        val_ref[:] = local_min
+        idx_ref[:] = local_arg
+
+    @pl.when(j > 0)
+    def _():
+        better = local_min < val_ref[:]
+        idx_ref[:] = jnp.where(better, local_arg, idx_ref[:])
+        val_ref[:] = jnp.where(better, local_min, val_ref[:])
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("xdim", "hexa", "gaussian", "tile_n", "interpret",
+                     "precision"),
+)
+def som_fused_train_step(
+    codes: jnp.ndarray,     # (noc, D) — keep D lane-padded (mult of 128)
+    xb: jnp.ndarray,        # (B, D)   current batch
+    bmu: jnp.ndarray,       # (B,) int32 BMU of xb (from the previous step)
+    xb_next: jnp.ndarray,   # (B', D)  next batch
+    xdim: int,
+    hexa: bool,
+    alpha,                  # scalar or (B,) per-sample effective alpha
+    radius,
+    gaussian: bool = False,
+    tile_n: int = 1024,
+    interpret: Optional[bool] = None,
+    precision=None,
+):
+    """One fused SOM training step at the HBM roofline.
+
+    Returns (codes_new, bmu_next (B',) int32, val_next (B',) partial
+    sq-dist without the ||x||^2 constant).  Software-pipelined usage:
+
+        bmu = dist_argmin(x[0], codes)[1]          # prologue
+        for t in range(T):
+            codes, bmu, _ = som_fused_train_step(
+                codes, x[t], bmu, x[t+1], ...)     # one codebook pass/step
+
+    The whole batch must fit VMEM alongside a (tile_n, B) weight block:
+    keep tile_n * B * 4  +  2 * B * D * 4  +  3 * tile_n * D * 4 well
+    under the ~16 MB VMEM budget (tile_n=1024, B=1024, D=128 ~= 7 MB).
+    Codebook may be float32 or bfloat16 (bf16 halves the step's HBM
+    traffic; accumulation is f32 in-kernel either way)."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    noc, D = codes.shape
+    B = xb.shape[0]
+    Bn = xb_next.shape[0]
+    tile_n = min(tile_n, _round_up(noc, 8))
+    Np = _round_up(noc, tile_n)
+    if D % 128 != 0:
+        raise ValueError(
+            f"som_fused_train_step: D={D} must be lane-padded to a "
+            "multiple of 128 (pad once, train padded — see "
+            "models.fast.som_train_fast)")
+    if Np != noc:
+        # pad rows to the tile multiple; the kernel masks them out of
+        # the winner search and the wrapper slices them back off.  For
+        # steady-state training prefer a pre-padded resident codebook
+        # (this per-step pad/slice costs an extra codebook copy).
+        codes = jnp.zeros((Np, D), dtype=codes.dtype).at[:noc].set(codes)
+
+    bp = jnp.reshape(bmu.astype(jnp.int32), (1, B))
+    aw = jnp.broadcast_to(jnp.asarray(alpha, dtype=jnp.float32), (B,))
+    awp = jnp.reshape(aw, (1, B))
+    rr = jnp.asarray([[radius]], dtype=jnp.float32)
+
+    grid = (Np // tile_n,)
+    codes_new, val, idx = pl.pallas_call(
+        functools.partial(
+            _som_fused_step_kernel,
+            gaussian=gaussian, tile_n=tile_n, xdim=xdim, hexa=hexa,
+            precision=precision, noc=noc if Np != noc else None,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, B), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bn, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile_n, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Bn), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Bn), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Np, D), codes.dtype),
+            jax.ShapeDtypeStruct((1, Bn), jnp.float32),
+            jax.ShapeDtypeStruct((1, Bn), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * Np * D + 2 * Bn * Np * D,
+            bytes_accessed=(2 * Np * D * codes.dtype.itemsize
+                            + (B + Bn) * D * 4 + 2 * B * 4 + 2 * Bn * 4),
+            transcendentals=B * Np if gaussian else 0,
+        ),
+        interpret=interpret,
+    )(bp, awp, xb, xb_next, codes, rr)
+    if Np != noc:
+        codes_new = codes_new[:noc]
+    return codes_new, idx[0, :], val[0, :]

@@ -187,7 +187,8 @@ def make_sharded_olvq1_train_step(mesh: Mesh, clip: float = 0.3,
     return jax.jit(smapped)
 
 
-def dim_sharded_winner_search(xb_d, codes_d, axis: str = "model"):
+def dim_sharded_winner_search(xb_d, codes_d, axis: str = "model",
+                              chunk: int = 2048):
     """Feature-axis-sharded winner search — the sequence-parallel
     analogue for very high-dimensional vectors (SURVEY.md §2.6): X and M
     are sharded along D, each chip computes the partial contraction
@@ -195,22 +196,53 @@ def dim_sharded_winner_search(xb_d, codes_d, axis: str = "model"):
     feature axis, and the argmin is local.  Moves O(B*N) floats over ICI
     instead of gathering O(N*D) codebook columns.
 
+    The codebook is processed in `chunk`-row tiles inside a lax.scan:
+    each round psums one (B, chunk) partial-distance block and folds it
+    into the running (min, argmin) — peak memory O(B*chunk) per chip,
+    never the full (B, N) block, so a 65 k codebook at real batch sizes
+    fits HBM.  Tie-break: strict < across chunks + argmin inside a chunk
+    = lowest global index first (the C scan rule, lvq_pak.c:79).
+
     Returns (sq_dist_without_x2 (B,), idx (B,)) — like the C scan, the
     ||x||^2 constant is dropped (it cannot change the argmin)."""
-    partial = jnp.sum(codes_d * codes_d, axis=-1)[None, :] - 2.0 * jax.lax.dot_general(
-        xb_d, codes_d, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # (B, N) partial over local feature slice
-    d = jax.lax.psum(partial, axis)
-    idx = jnp.argmin(d, axis=-1).astype(jnp.int32)
-    val = jnp.min(d, axis=-1)
+    N = codes_d.shape[0]
+    B = xb_d.shape[0]
+    chunk = min(chunk, N)
+    nchunks = -(-N // chunk)
+    Np = nchunks * chunk
+    mp = codes_d
+    bias = jnp.zeros((Np,), jnp.float32)
+    if Np != N:
+        mp = jnp.zeros((Np, codes_d.shape[1]), codes_d.dtype).at[:N].set(codes_d)
+        bias = bias.at[N:].set(jnp.inf)  # padded rows can never win
+    chunks = mp.reshape(nchunks, chunk, -1)
+    biases = bias.reshape(nchunks, chunk)
+
+    def fold(carry, inp):
+        bestv, besti, base = carry
+        m_c, b_c = inp
+        partial = jnp.sum(m_c * m_c, axis=-1)[None, :] - 2.0 * jax.lax.dot_general(
+            xb_d, m_c, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (B, chunk) partial over local feature slice
+        d = jax.lax.psum(partial, axis) + b_c[None, :]
+        v = jnp.min(d, axis=-1)
+        i = jnp.argmin(d, axis=-1).astype(jnp.int32) + base
+        better = v < bestv
+        return (jnp.where(better, v, bestv), jnp.where(better, i, besti),
+                base + chunk), None
+
+    init = (jnp.full((B,), jnp.inf, jnp.float32),
+            jnp.zeros((B,), jnp.int32), jnp.int32(0))
+    (val, idx, _), _ = jax.lax.scan(fold, init, (chunks, biases))
     return val, idx
 
 
-def make_dim_sharded_winner(mesh: Mesh) -> Callable:
+def make_dim_sharded_winner(mesh: Mesh, chunk: int = 2048) -> Callable:
     """winner(xb (B, D), codes (N, D)) with the feature axis sharded over
     `model` and the batch over `data`."""
     smapped = jax.shard_map(
-        dim_sharded_winner_search,
+        functools.partial(dim_sharded_winner_search, chunk=chunk),
         mesh=mesh,
         check_vma=False,
         in_specs=(P("data", "model"), P(None, "model")),
@@ -269,3 +301,74 @@ def shard_arrays(mesh: Mesh, codes, xb, coords):
     cl = jax.device_put(coords, NamedSharding(mesh, P("model", None)))
     cf = jax.device_put(coords, NamedSharding(mesh, P()))
     return cs, xs, cl, cf
+
+
+# ---------------------------------------------------------------------------
+# Expert parallelism: class-blocked codebook layout (SURVEY.md §2.6 EP row)
+# ---------------------------------------------------------------------------
+
+class ClassBlockedOLVQ1:
+    """olvq1 training with the expert-parallel codebook layout: rows are
+    permuted so same-class codes sit in contiguous blocks
+    (parallel.mesh.class_blocked_order) before sharding over the `model`
+    axis, landing each class on as few shards as possible — per-class
+    work (quota rebalancing, class statistics, per-class eval) then
+    touches a minimal shard set, the EP analogue for a model with no MoE
+    layer (the reference has no parallelism at all; this is new design).
+
+    Training math is exactly the sharded olvq1 step (winners over the
+    permuted layout are the same vectors, so trained codebooks match the
+    unpermuted run up to the row permutation, which `codes()` undoes)."""
+
+    def __init__(self, mesh: Mesh, codes, code_labels, alphas=None,
+                 clip: float = 0.3, use_pallas: bool = False):
+        import numpy as np
+
+        from .mesh import class_blocked_order
+
+        self.mesh = mesh
+        labels = np.asarray(code_labels)
+        self.order = class_blocked_order(labels)
+        self.inv = np.argsort(self.order)
+        self._step = make_sharded_olvq1_train_step(mesh, clip=clip,
+                                                   use_pallas=use_pallas)
+        n = labels.shape[0]
+        if alphas is None:
+            alphas = jnp.full((n,), clip, dtype=jnp.float32)
+        self._codes = jax.device_put(
+            jnp.asarray(codes)[self.order],
+            NamedSharding(mesh, P("model", None)),
+        )
+        self._labels = jnp.asarray(labels[self.order])
+        self._alphas = jnp.asarray(alphas)[jnp.asarray(self.order)]
+
+    def step(self, xb, xlabels):
+        """One sharded minibatch olvq1 step over the blocked layout."""
+        xs = jax.device_put(xb, NamedSharding(self.mesh, P("data", None)))
+        xl = jax.device_put(xlabels, NamedSharding(self.mesh, P("data")))
+        self._codes, self._alphas = self._step(
+            self._codes, self._labels, self._alphas, xs, xl
+        )
+        return self
+
+    def codes(self):
+        """Trained codebook in the ORIGINAL row order."""
+        return jnp.asarray(self._codes)[jnp.asarray(self.inv)]
+
+    def alphas(self):
+        return jnp.asarray(self._alphas)[jnp.asarray(self.inv)]
+
+    def shards_per_class(self):
+        """Diagnostic: {class label: number of model shards its rows
+        span} under the blocked layout — the quantity EP minimizes."""
+        import numpy as np
+
+        n = len(self.order)
+        s = self.mesh.shape["model"]
+        per = -(-n // s)
+        lab = np.asarray(self._labels)
+        out = {}
+        for c in np.unique(lab):
+            rows = np.nonzero(lab == c)[0]
+            out[int(c)] = len(np.unique(rows // per))
+        return out

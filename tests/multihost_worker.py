@@ -1,0 +1,115 @@
+"""Worker process for tests/test_multihost.py.
+
+Run as:  python multihost_worker.py <coordinator> <pid> <nprocs> <datafile> <outdir>
+
+Each process owns 4 virtual CPU devices (8 global over 2 processes),
+initializes jax.distributed, streams ITS OWN half of the data file
+(StreamingReader shard=(pid, nprocs) — the multi-host input pipeline),
+assembles the global batch with make_array_from_process_local_data, and
+runs one sharded SOM step and one sharded olvq1 step over the global
+(data, model) mesh.  Process 0 writes the gathered results for the
+parent test to compare against the single-process oracle.
+"""
+
+import os
+import sys
+
+
+def main() -> int:
+    coordinator, pid, nprocs, datafile, outdir = sys.argv[1:6]
+    pid, nprocs = int(pid), int(nprocs)
+
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=4"
+    ).strip()
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(
+        coordinator_address=coordinator, num_processes=nprocs, process_id=pid
+    )
+    assert jax.process_count() == nprocs
+    assert len(jax.devices()) == 4 * nprocs, len(jax.devices())
+
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.experimental import multihost_utils
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from som_lvq_pak_tpu.data.streaming import StreamingReader
+    from som_lvq_pak_tpu.models.fast import unit_coords
+    from som_lvq_pak_tpu.parallel.mesh import make_mesh
+    from som_lvq_pak_tpu.parallel.sharded import (
+        make_sharded_olvq1_train_step,
+        make_sharded_som_train_step,
+        shard_arrays,
+    )
+
+    mesh = make_mesh(8, data=nprocs, model=8 // nprocs)
+
+    # --- host-sharded input pipeline: this process streams rows
+    # pid, pid+nprocs, ... of the shared file (DCN-storage analogue)
+    reader = StreamingReader(datafile, buffer=16, shard=(pid, nprocs))
+    chunks = list(reader.chunks(laps=1))
+    local = np.concatenate([c.points for c in chunks])
+    local_labels = np.concatenate([c.first_labels() for c in chunks])
+
+    B = local.shape[0] * nprocs
+    D = local.shape[1]
+
+    # deterministic codebook, same on every process
+    rng = np.random.RandomState(5)
+    N = 16 * 4
+    codes = rng.randn(N, D).astype(np.float32)
+    clabels = (np.arange(N) % 3 + 1).astype(np.int32)
+    coords = unit_coords(16, 4, hexa=True)
+
+    # --- global batch from per-process shards
+    xs = multihost_utils.host_local_array_to_global_array(
+        local, mesh, P("data", None)
+    )
+    xl = multihost_utils.host_local_array_to_global_array(
+        local_labels, mesh, P("data")
+    )
+
+    # --- sharded SOM step
+    som_step = make_sharded_som_train_step(mesh, gaussian=False, use_pallas=False)
+    cs, _, cl, cf = shard_arrays(mesh, jnp.asarray(codes), jnp.zeros((B, D)), coords)
+    out = som_step(cs, xs, cl, cf, jnp.float32(0.05), jnp.float32(3.0))
+    som_result = multihost_utils.process_allgather(out, tiled=True)
+
+    # --- sharded olvq1 step
+    lvq_step = make_sharded_olvq1_train_step(mesh)
+    alphas = jnp.full((N,), 0.3, dtype=jnp.float32)
+    oc, oa = lvq_step(
+        jax.device_put(jnp.asarray(codes), NamedSharding(mesh, P("model", None))),
+        jnp.asarray(clabels), alphas, xs, xl,
+    )
+    lvq_codes = multihost_utils.process_allgather(oc, tiled=True)
+    lvq_alphas = multihost_utils.process_allgather(oa, tiled=True)
+
+    # the global batch in device order, for the parent's oracle
+    xb_global = multihost_utils.process_allgather(xs, tiled=True)
+    xl_global = multihost_utils.process_allgather(xl, tiled=True)
+
+    if pid == 0:
+        np.savez(
+            os.path.join(outdir, "result.npz"),
+            som=np.asarray(som_result),
+            lvq_codes=np.asarray(lvq_codes),
+            lvq_alphas=np.asarray(lvq_alphas),
+            xb=np.asarray(xb_global),
+            xl=np.asarray(xl_global),
+            codes=codes,
+            clabels=clabels,
+        )
+    multihost_utils.sync_global_devices("done")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

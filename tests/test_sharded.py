@@ -92,3 +92,37 @@ def test_dim_sharded_winner_search(mesh):
     winner = make_dim_sharded_winner(mesh)
     val, idx = winner(xb, codes)
     np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref_idx))
+
+
+def test_class_blocked_olvq1_matches_unsharded(mesh):
+    """EP layout: class-blocked sharded olvq1 == plain batch step modulo
+    the row permutation, and each class's rows span a minimal shard set."""
+    from som_lvq_pak_tpu.models.fast import olvq1_batch_step
+    from som_lvq_pak_tpu.parallel.sharded import ClassBlockedOLVQ1
+
+    B, N, D = 64, 16 * 8, 16
+    k1, k2, k3, k4 = jax.random.split(jax.random.PRNGKey(21), 4)
+    codes = jax.random.normal(k1, (N, D), dtype=jnp.float32)
+    xb = jax.random.normal(k2, (B, D), dtype=jnp.float32) * 2
+    clabels = jax.random.randint(k3, (N,), 1, 5)
+    xlabels = jax.random.randint(k4, (B,), 1, 5)
+    alphas = jnp.full((N,), 0.3, dtype=jnp.float32)
+
+    ref_codes, ref_a = olvq1_batch_step(codes, clabels, alphas, xb, xlabels,
+                                        use_pallas=False)
+    ep = ClassBlockedOLVQ1(mesh, codes, clabels, use_pallas=False)
+    ep.step(xb, xlabels)
+    np.testing.assert_allclose(np.asarray(ep.codes()), np.asarray(ref_codes),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ep.alphas()), np.asarray(ref_a),
+                               rtol=1e-6, atol=1e-6)
+
+    # layout property: a class with k rows can span at most
+    # ceil(k / rows_per_shard) + 1 shards when blocked (vs up to S when
+    # scattered); verify the blocked bound holds for every class
+    s = mesh.shape["model"]
+    per = -(-N // s)
+    counts = {int(c): int((np.asarray(clabels) == c).sum())
+              for c in np.unique(np.asarray(clabels))}
+    for c, nsh in ep.shards_per_class().items():
+        assert nsh <= -(-counts[c] // per) + 1, (c, nsh, counts[c])
