@@ -101,7 +101,14 @@ def main(argv: Optional[List[str]] = None, progname: Optional[str] = None) -> in
     if tool != "mcnemar":
         global_options(scanner)
         if scanner.get("-help", OPTION2) is not None:
-            sys.stdout.write("%s: see the reference usage (SURVEY.md §2.4/2.5)\n" % tool)
+            # per-program usage block, byte-matching the reference's
+            # printhelp() output (usage[] arrays, e.g. vsom.c:32-51)
+            from .usage import usage_text
+
+            text = usage_text(tool)
+            if text is None:
+                text = "%s: no usage text (see 'somvq help' for the tool list)\n" % tool
+            sys.stdout.write(text)
             return 0
     try:
         return tools[tool](scanner, tool)

@@ -267,3 +267,30 @@ def test_selfuncs_flag(ref_dir, golden_dir, tmp_path, capsys):
     assert rc == 0
     assert out2 == out  # falls back to the default functions
     assert "functions for 'fast' not found, using defaults" in capsys.readouterr().err
+
+
+def test_help_usage_blocks(capsys):
+    """`somvq <tool> -help` prints the reference program's usage[] block
+    byte-for-byte (printhelp(), lvq_pak.h:296; goldens captured from the
+    compiled reference binaries)."""
+    import som_lvq_pak_tpu.cli as cli
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    for tool, golden in (("vsom", "vsom_help.txt"),
+                         ("eveninit", "eveninit_help.txt")):
+        rc = cli.main([tool, "-help"])
+        assert rc == 0
+        out = capsys.readouterr().out
+        with open(os.path.join(here, "golden", golden)) as f:
+            assert out == f.read()
+
+    # every flag-based tool (and alias) has a usage block
+    from som_lvq_pak_tpu.cli.usage import usage_text
+
+    for tool in cli.tool_names():
+        # mcnemar only prints usage on bad argc (mcnemar.c:61, stderr);
+        # vfind is interactive with no usage[] at all
+        if tool in ("mcnemar", "vfind"):
+            assert usage_text(tool) is None
+            continue
+        assert usage_text(tool), f"missing usage text for {tool}"

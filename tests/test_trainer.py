@@ -114,3 +114,35 @@ def test_olvq1_batch_alpha_saturates():
                                 clip=0.3, use_pallas=False)
     a = np.asarray(new_a)
     assert (a > 0).all() and (a <= 0.3 + 1e-6).all(), a
+
+
+def test_som_trainer_stream_exhaustion_raises(ex_dat, ref_dir):
+    """A stream that runs dry before rlen must raise (silent
+    under-training was a r1 defect), unless allow_short_stream=True."""
+    init = som.randinit(ex_dat, Topology.HEXA, Neighborhood.BUBBLE, 6, 4,
+                        CRandom(7))
+    sr = StreamingReader(os.path.join(ref_dir, "ex.dat"), buffer=512)
+    tr = SOMTrainer(init, batch_size=128, use_pallas=False)
+    with pytest.raises(RuntimeError, match="stream exhausted"):
+        tr.fit(sr.chunks(laps=1), rlen=8192, alpha=0.05, radius=4.0)
+
+    sr = StreamingReader(os.path.join(ref_dir, "ex.dat"), buffer=512)
+    tr = SOMTrainer(init, batch_size=128, use_pallas=False)
+    out = tr.fit(sr.chunks(laps=1), rlen=8192, alpha=0.05, radius=4.0,
+                 allow_short_stream=True)
+    assert np.isfinite(out.points).all()
+
+
+def test_som_trainer_streaming_masked_weighted(golden_dir):
+    """Streaming chunks carrying masks and weights flow through to the
+    masked minibatch step."""
+    sr = StreamingReader(os.path.join(golden_dir, "wmask.dat"), buffer=32)
+    codes = read_data(os.path.join(golden_dir, "wmask_r.cod"))
+    data = read_data(os.path.join(golden_dir, "wmask.dat"))
+    tr = SOMTrainer(codes, batch_size=16, use_pallas=False, seed=3)
+    out = tr.fit(sr.chunks(laps=None), rlen=480, alpha=0.05, radius=3.0,
+                 use_weights=True)
+    assert np.isfinite(out.points).all()
+    q = som.find_qerror(out, data, mode="parity") / data.n
+    q0 = som.find_qerror(codes, data, mode="parity") / data.n
+    assert q < 1.5 * q0
