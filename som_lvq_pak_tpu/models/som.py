@@ -370,17 +370,37 @@ def find_qerror(codes: Dataset, data: Dataset, mode: str = "parity") -> float:
     from ..ops.distance import sq_distances
 
     # chunk the data axis so the (B, noc) distance block stays bounded
-    # (full-size workloads: 100k x 16k f32 would be 6.5 GB unchunked)
+    # (full-size workloads: 100k x 16k f32 would be 6.5 GB unchunked).
+    # NB the fast path accumulates per-chunk float32 partial sums into a
+    # float64 total, so the last few ulps depend on the chunk size
+    # (itself a function of codes.n) — fine for the quality path; the
+    # bit-anchored figure is mode="parity".  The last chunk is padded to
+    # the full chunk size (padded rows zeroed out via the row validity
+    # vector) so every chunk shares one compiled shape.
     chunk = max(1, min(data.n, (1 << 25) // max(1, codes.n)))
     M = jnp.asarray(codes.points)
     total = 0.0
     for s in range(0, data.n, chunk):
-        xs = jnp.asarray(data.points[s : s + chunk])
-        xm = None if data.mask is None else jnp.asarray(data.mask[s : s + chunk])
+        e = min(s + chunk, data.n)
+        m = e - s
+        valid_np = np.zeros((chunk,), bool)
+        valid_np[:m] = (~data.mask[s:e].all(axis=1)
+                        if data.mask is not None else True)
+        if m < chunk:
+            xs_np = np.zeros((chunk, data.dim), np.float32)
+            xs_np[:m] = data.points[s:e]
+            xs = jnp.asarray(xs_np)
+            if data.mask is not None:
+                xm_np = np.ones((chunk, data.dim), np.uint8)
+                xm_np[:m] = data.mask[s:e]
+                xm = jnp.asarray(xm_np)
+            else:
+                xm = None
+        else:
+            xs = jnp.asarray(data.points[s:e])
+            xm = None if data.mask is None else jnp.asarray(data.mask[s:e])
         mind = jnp.min(sq_distances(xs, M, xm), axis=-1)
-        if data.mask is not None:
-            nonempty = ~np.asarray(data.mask[s : s + chunk]).all(axis=1)
-            mind = mind * jnp.asarray(nonempty)
+        mind = mind * jnp.asarray(valid_np)
         total += float(jnp.sum(jnp.sqrt(jnp.maximum(mind, 0.0))))
     return total
 

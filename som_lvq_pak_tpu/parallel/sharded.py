@@ -63,6 +63,7 @@ def sharded_som_step(
     codes_local, xb_local, coords_local, coords_full, alpha, radius,
     gaussian: bool, use_pallas: bool = False,
     mask_local=None, weights_local=None, fixed_local=None,
+    overlap_chunks: int = 1,
 ):
     """One sharded minibatch SOM step (runs inside shard_map).
 
@@ -84,7 +85,25 @@ def sharded_som_step(
     else:
         keep = None
         xb_use = xb_local
-        _, bmu = sharded_winner_search(xb_local, codes_local, n_local, use_pallas)
+        if overlap_chunks > 1:
+            # collective/compute pipelining: split the batch so chunk k's
+            # winner all_gather rides ICI while chunk k+1's distance
+            # matmul runs on the MXU.  Exactly the same math as the
+            # unchunked search (winners are per-sample independent) —
+            # the split only gives XLA's latency-hiding scheduler the
+            # freedom to overlap (BASELINE.md north-star).
+            Bl = xb_local.shape[0]
+            k = max(1, min(overlap_chunks, Bl))
+            csize = -(-Bl // k)
+            parts = []
+            for s in range(0, Bl, csize):
+                _, bmu_c = sharded_winner_search(
+                    xb_local[s:s + csize], codes_local, n_local, use_pallas)
+                parts.append(bmu_c)
+            bmu = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+        else:
+            _, bmu = sharded_winner_search(xb_local, codes_local, n_local,
+                                           use_pallas)
     if fixed_local is not None:
         bmu = jnp.where(fixed_local >= 0, fixed_local, bmu)
     # per-sample effective alpha (weight= scaling; empty samples -> 0)
@@ -254,6 +273,7 @@ def make_dim_sharded_winner(mesh: Mesh, chunk: int = 2048) -> Callable:
 def make_sharded_som_train_step(
     mesh: Mesh, gaussian: bool, use_pallas: bool = False,
     masked: bool = False, weighted: bool = False, fixed: bool = False,
+    overlap_chunks: int = 1,
 ) -> Callable:
     """Build a jitted sharded train step:
     step(codes (noc, D), xb (B, D), coords (noc, 2), alpha, radius,
@@ -261,7 +281,8 @@ def make_sharded_som_train_step(
     sharded P('model', None), per-sample arrays P('data', ...).  The
     optional trailing args appear in that order for whichever of
     masked/weighted/fixed are True."""
-    fn = functools.partial(sharded_som_step, gaussian=gaussian, use_pallas=use_pallas)
+    fn = functools.partial(sharded_som_step, gaussian=gaussian,
+                           use_pallas=use_pallas, overlap_chunks=overlap_chunks)
     in_specs = [
         P("model", None),  # codebook rows
         P("data", None),  # batch rows

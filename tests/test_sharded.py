@@ -126,3 +126,21 @@ def test_class_blocked_olvq1_matches_unsharded(mesh):
               for c in np.unique(np.asarray(clabels))}
     for c, nsh in ep.shards_per_class().items():
         assert nsh <= -(-counts[c] // per) + 1, (c, nsh, counts[c])
+
+
+def test_overlap_chunked_step_matches_unchunked(mesh):
+    """Collective/compute-pipelined step (batch split so each chunk's
+    winner all_gather overlaps the next chunk's matmul) == plain step."""
+    B, N, D = 64, 16 * 8, 16
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    codes = jax.random.normal(k1, (N, D), dtype=jnp.float32)
+    xb = jax.random.normal(k2, (B, D), dtype=jnp.float32) * 2
+    coords = unit_coords(16, 8, hexa=True)
+
+    plain = make_sharded_som_train_step(mesh, gaussian=True, use_pallas=False)
+    lapped = make_sharded_som_train_step(mesh, gaussian=True, use_pallas=False,
+                                         overlap_chunks=4)
+    args = shard_arrays(mesh, codes, xb, coords)
+    a = plain(*args, jnp.float32(0.05), jnp.float32(3.0))
+    b = lapped(*args, jnp.float32(0.05), jnp.float32(3.0))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6)
