@@ -271,7 +271,13 @@ def cmd_knntest(scanner: ArgScanner, progname: str) -> int:
 # mcnemar  (mcnemar.c) — positional args, report to stderr
 # ---------------------------------------------------------------------------
 
-MCNEMAR_USAGE = "usage: mcnemar cfile1 cfile2\n"
+# byte-identical to the reference's usage string (mcnemar.c:46-49),
+# printed to stderr on wrong argc with exit 1 (mcnemar.c:60-63)
+MCNEMAR_USAGE = (
+    "\nUsage: mcnemar classification_file1 classification_file2\n"
+    ' You must first run "accuracy" with option "-cfout classification_file"\n'
+    " to create the files containing classification information.\n"
+)
 
 
 def cmd_mcnemar(scanner: ArgScanner, progname: str) -> int:

@@ -393,3 +393,69 @@ class ClassBlockedOLVQ1:
             rows = np.nonzero(lab == c)[0]
             out[int(c)] = len(np.unique(rows // per))
         return out
+
+
+# ---------------------------------------------------------------------------
+# Ring-pass winner search (the ring-attention analogue, SURVEY.md §5:
+# codebooks too large for any single chip's HBM)
+# ---------------------------------------------------------------------------
+
+def ring_winner_search(xb_local, codes_local, axis: str = "model"):
+    """Inside shard_map: winner search where BOTH the batch and the
+    codebook stay sharded — nothing is ever replicated or gathered.
+
+    Each chip holds a batch shard (Bl, D) and a codebook shard
+    (noc/S, D).  The codebook shards rotate around the `axis` ring via
+    ppermute: after round r a chip holds shard (me + r) % S, scores its
+    local batch against it, and folds the (min, argmin) — S rounds visit
+    every shard.  Per-chip memory stays O(Bl*D + (noc/S)*D); total ICI
+    traffic is one full codebook circulation per batch, overlapping the
+    next round's distance matmul.  This is the path for codebooks larger
+    than one chip's HBM (the reference's only answer was LOADMODE_BUFFER
+    on the data side; the codebook always had to fit RAM).
+
+    Tie-break: lowest GLOBAL index among equal distances (the C scan's
+    first-index rule, lvq_pak.c:79) — distances for a given (sample,
+    code) pair are bit-identical whichever round computes them, so the
+    (strict <) | (== and lower index) fold is exact.
+
+    Returns (val (Bl,), global_idx (Bl,)) — true squared distances."""
+    from ..ops.distance import find_winners
+
+    S = jax.lax.axis_size(axis)
+    me = jax.lax.axis_index(axis)
+    n_local = codes_local.shape[0]
+    Bl = xb_local.shape[0]
+    perm = [(i, (i - 1) % S) for i in range(S)]  # pass blocks "left"
+
+    def round_fn(carry, r):
+        block, bestv, besti = carry
+        owner = jax.lax.rem(me + r, S)
+        idx, val = find_winners(xb_local, block)
+        gidx = owner.astype(jnp.int32) * n_local + idx.astype(jnp.int32)
+        better = (val < bestv) | ((val == bestv) & (gidx < besti))
+        bestv = jnp.where(better, val, bestv)
+        besti = jnp.where(better, gidx, besti)
+        block = jax.lax.ppermute(block, axis, perm)
+        return (block, bestv, besti), None
+
+    init = (codes_local,
+            jnp.full((Bl,), jnp.inf, jnp.float32),
+            jnp.full((Bl,), jnp.iinfo(jnp.int32).max, jnp.int32))
+    (block, bestv, besti), _ = jax.lax.scan(
+        round_fn, init, jnp.arange(S, dtype=jnp.int32))
+    return bestv, besti
+
+
+def make_ring_winner(mesh: Mesh) -> Callable:
+    """winner(xb (B, D), codes (noc, D)): batch sharded over BOTH mesh
+    axes (maximal memory spread), codebook rows over `model`; winners
+    resolved by the ring pass."""
+    smapped = jax.shard_map(
+        ring_winner_search,
+        mesh=mesh,
+        check_vma=False,
+        in_specs=(P(("data", "model"), None), P("model", None)),
+        out_specs=(P(("data", "model")), P(("data", "model"))),
+    )
+    return jax.jit(smapped)

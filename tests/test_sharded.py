@@ -144,3 +144,26 @@ def test_overlap_chunked_step_matches_unchunked(mesh):
     a = plain(*args, jnp.float32(0.05), jnp.float32(3.0))
     b = lapped(*args, jnp.float32(0.05), jnp.float32(3.0))
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6)
+
+
+def test_ring_winner_search_matches_reference(mesh):
+    """Ring-pass winner search (codebook shards circulating via ppermute,
+    batch never replicated) == the single-device exact argmin, including
+    first-index tie-breaks on duplicated codes."""
+    from som_lvq_pak_tpu.parallel.sharded import make_ring_winner
+
+    B, N, D = 64, 16 * 8, 16
+    k1, k2 = jax.random.split(jax.random.PRNGKey(13))
+    codes = jax.random.normal(k1, (N, D), dtype=jnp.float32)
+    # duplicate a few rows to force exact distance ties
+    codes = codes.at[100].set(codes[3]).at[77].set(codes[5])
+    xb = jax.random.normal(k2, (B, D), dtype=jnp.float32) * 2
+
+    from som_lvq_pak_tpu.ops.distance import find_winners
+
+    ref_idx, ref_val = find_winners(xb, codes)
+    winner = make_ring_winner(mesh)
+    val, idx = winner(xb, codes)
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref_idx))
+    np.testing.assert_allclose(np.asarray(val), np.asarray(ref_val),
+                               rtol=1e-5, atol=1e-4)
