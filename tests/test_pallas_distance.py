@@ -135,3 +135,51 @@ def test_som_neighborhood_update_matches_xla():
             )
             np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                        rtol=1e-5, atol=1e-5)
+
+
+def test_dist_argmin_top2_masked_match_oracle():
+    """Masked Pallas kernels (fused keep @ (M^2)^T correction) == the XLA
+    masked oracle."""
+    from som_lvq_pak_tpu.ops.distance import find_winners, topk_winners
+    from som_lvq_pak_tpu.ops.pallas_distance import dist_top2
+
+    for B, N, D in ((64, 96, 5), (100, 520, 20)):
+        k1, k2, k3 = jax.random.split(jax.random.PRNGKey(B), 3)
+        x = jax.random.normal(k1, (B, D)) * 10
+        m = jax.random.normal(k2, (N, D)) * 10
+        mask = (jax.random.uniform(k3, (B, D)) < 0.3).astype(jnp.uint8)
+        val, idx = dist_argmin(x, m, mask=mask, tile_b=32, tile_n=128)
+        ridx, rval = find_winners(x, m, mask)
+        np.testing.assert_array_equal(np.asarray(idx), np.asarray(ridx))
+        np.testing.assert_allclose(np.asarray(val), np.asarray(rval),
+                                   rtol=1e-4, atol=1e-2)
+        d1, i1, d2, i2 = dist_top2(x, m, mask=mask, tile_b=32, tile_n=128)
+        tidx, tval = topk_winners(x, m, 2, mask)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(tidx[:, 0]))
+        np.testing.assert_array_equal(np.asarray(i2), np.asarray(tidx[:, 1]))
+        np.testing.assert_allclose(np.asarray(d1), np.asarray(tval[:, 0]),
+                                   rtol=1e-4, atol=1e-2)
+
+
+def test_olvq1_maintained_m2_matches_recompute():
+    """olvq1_batch_step(m2=...) must return the same codes as the
+    recompute path and an m2 equal to the full ||m||^2 recompute."""
+    from som_lvq_pak_tpu.models.fast import olvq1_batch_step
+
+    k1, k2, k3, k4 = jax.random.split(jax.random.PRNGKey(2), 4)
+    N, B, D = 96, 48, 12
+    codes = jax.random.normal(k1, (N, D), dtype=jnp.float32)
+    xb = jax.random.normal(k2, (B, D), dtype=jnp.float32) * 2
+    clab = jax.random.randint(k3, (N,), 1, 4)
+    xlab = jax.random.randint(k4, (B,), 1, 4)
+    alphas = jnp.full((N,), 0.3, jnp.float32)
+    m2 = jnp.sum(codes * codes, axis=-1)
+
+    c_ref, a_ref = olvq1_batch_step(codes, clab, alphas, xb, xlab)
+    c, a, m2n = olvq1_batch_step(codes, clab, alphas, xb, xlab, m2=m2)
+    np.testing.assert_allclose(np.asarray(c), np.asarray(c_ref),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(a_ref))
+    np.testing.assert_allclose(np.asarray(m2n),
+                               np.asarray(jnp.sum(c * c, axis=-1)),
+                               rtol=1e-5, atol=1e-5)
