@@ -368,19 +368,18 @@ def som_train_fast(
     n = data.n
 
     steps = jax.random.randint(key, (nb, batch_size), 0, n)
+    talp_j = jnp.asarray(talp)
+    trad_j = jnp.asarray(trad)
 
-    def body(m, inp):
-        idxs, a, r = inp
-        xb = X[idxs]
-        # scale the accumulated-sum step to keep parity with B online steps
-        a_eff = a if update == "mean" else a
-        return (
-            som_batch_step(m, xb, coords, a_eff, r, gaussian=gaussian, update=update,
-                           use_pallas=jax.default_backend() == "tpu",
+    # host loop over batches of ONE jitted step — not lax.scan: compiling
+    # device loops through the TPU tunnel takes minutes (CLAUDE.md), and
+    # the per-batch dispatch is negligible against the step's matmuls
+    use_pallas = jax.default_backend() == "tpu"
+    for b in range(nb):
+        xb = X[steps[b]]
+        M = som_batch_step(M, xb, coords, talp_j[b], trad_j[b],
+                           gaussian=gaussian, update=update,
+                           use_pallas=use_pallas,
                            xdim=codes.xdim,
-                           hexa=codes.topol == Topology.HEXA),
-            None,
-        )
-
-    M, _ = jax.lax.scan(body, M, (steps, jnp.asarray(talp), jnp.asarray(trad)))
+                           hexa=codes.topol == Topology.HEXA)
     return replace(codes, points=np.asarray(M)[:, :D], comments=[])

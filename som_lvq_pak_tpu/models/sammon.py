@@ -142,9 +142,12 @@ def sammon_fast(
     codes: Dataset, length: int, seed: int = 1
 ) -> Tuple[Dataset, Dataset]:
     """Device-speed Sammon projection: the same MAGIC=0.2 Newton-style
-    iteration fully vectorized over all (j, k) pairs as a jitted
-    fori_loop — O(noc^2) matrix work per iteration on the accelerator
-    instead of the parity path's per-k host loops.  Results match the C
+    iteration fully vectorized over all (j, k) pairs — O(noc^2) matrix
+    work per iteration on the accelerator instead of the parity path's
+    per-k host loops.  The loop over iterations is a host loop of one
+    jitted body (NOT lax.fori_loop: compiling device loops through the
+    TPU tunnel takes minutes — CLAUDE.md; the per-iteration dispatch is
+    ~27 us against O(noc^2) device work).  Results match the C
     algorithm's fixed points, not its float-ordering bit pattern (use
     sammon() for byte parity).  Init draws the identical LCG stream."""
     import jax
@@ -165,31 +168,29 @@ def sammon_fast(
     eye = jnp.eye(noc, dtype=bool)
 
     @jax.jit
-    def run(x, y):
-        def body(_, xy):
-            x, y = xy
-            xd = x[None, :] - x[:, None]   # xd[k, j] = x_j - x_k
-            yd = y[None, :] - y[:, None]
-            dpj = jnp.sqrt(xd * xd + yd * yd)
-            dq = dmat - dpj
-            dr = jnp.where(eye, 1.0, dmat * dpj)
-            safe_dpj = jnp.where(dpj == 0, 1.0, dpj)
-            t1x = jnp.where(eye, 0.0, xd * dq / dr)
-            t1y = jnp.where(eye, 0.0, yd * dq / dr)
-            inner = 1.0 + dq / safe_dpj
-            t2x = jnp.where(eye, 0.0, (dq - xd * xd * inner / safe_dpj) / dr)
-            t2y = jnp.where(eye, 0.0, (dq - yd * yd * inner / safe_dpj) / dr)
-            e1x = jnp.sum(t1x, axis=0)
-            e1y = jnp.sum(t1y, axis=0)
-            e2x = jnp.sum(t2x, axis=0)
-            e2y = jnp.sum(t2y, axis=0)
-            xu = x + MAGIC * e1x / jnp.abs(e2x)
-            yu = y + MAGIC * e1y / jnp.abs(e2y)
-            return xu - jnp.mean(xu), yu - jnp.mean(yu)
+    def body(x, y):
+        xd = x[None, :] - x[:, None]   # xd[k, j] = x_j - x_k
+        yd = y[None, :] - y[:, None]
+        dpj = jnp.sqrt(xd * xd + yd * yd)
+        dq = dmat - dpj
+        dr = jnp.where(eye, 1.0, dmat * dpj)
+        safe_dpj = jnp.where(dpj == 0, 1.0, dpj)
+        t1x = jnp.where(eye, 0.0, xd * dq / dr)
+        t1y = jnp.where(eye, 0.0, yd * dq / dr)
+        inner = 1.0 + dq / safe_dpj
+        t2x = jnp.where(eye, 0.0, (dq - xd * xd * inner / safe_dpj) / dr)
+        t2y = jnp.where(eye, 0.0, (dq - yd * yd * inner / safe_dpj) / dr)
+        e1x = jnp.sum(t1x, axis=0)
+        e1y = jnp.sum(t1y, axis=0)
+        e2x = jnp.sum(t2x, axis=0)
+        e2y = jnp.sum(t2y, axis=0)
+        xu = x + MAGIC * e1x / jnp.abs(e2x)
+        yu = y + MAGIC * e1y / jnp.abs(e2y)
+        return xu - jnp.mean(xu), yu - jnp.mean(yu)
 
-        return jax.lax.fori_loop(0, length, body, (x, y))
-
-    x, y = run(jnp.asarray(x0), jnp.asarray(y0))
+    x, y = jnp.asarray(x0), jnp.asarray(y0)
+    for _ in range(length):
+        x, y = body(x, y)
     pts = np.stack([np.asarray(x), np.asarray(y)], axis=1).astype(F32)
     proj = Dataset(
         points=pts,
