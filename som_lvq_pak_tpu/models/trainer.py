@@ -40,11 +40,17 @@ class SOMTrainer:
         checkpoint_interval: int = 0,
         seed: int = 0,
         use_pallas: Optional[bool] = None,
+        bf16: bool = False,
     ):
+        """`bf16=True` keeps the training-resident codebook in bfloat16
+        on the fused path — halves the step's HBM traffic (the fused
+        kernel accumulates in f32 either way); the returned/checkpointed
+        codebook is float32."""
         import jax
 
         if not codes.is_map:
             raise ValueError("SOMTrainer needs a map codebook")
+        self.bf16 = bf16
         self.meta = codes
         self.batch_size = batch_size
         self.update = update
@@ -295,7 +301,7 @@ class SOMTrainer:
                 and (b + 1) % self.checkpoint_interval == 0
             ):
                 self.ckpt.save(TrainState(
-                    codes=np.asarray(M)[:, :D], step=b + 1,
+                    codes=np.asarray(M, dtype=np.float32)[:, :D], step=b + 1,
                     prng_key=np.asarray(key),
                     extra={"alpha": float(alpha), "radius": float(radius)},
                 ))
@@ -308,6 +314,8 @@ class SOMTrainer:
 
             Dp = -(-D // 128) * 128
             Mp = jnp.zeros((self.meta.n, Dp), jnp.float32).at[:, :D].set(M)
+            if self.bf16:
+                Mp = Mp.astype(jnp.bfloat16)
             hexa = self.meta.topol == Topology.HEXA
 
             def pad(xb):
@@ -350,7 +358,7 @@ class SOMTrainer:
                     progress.step(self.batch_size)
                 maybe_ckpt(b, Mp)
                 prev = nxt
-            M = Mp[:, :D]
+            M = Mp[:, :D].astype(jnp.float32)
         else:
             for b, xb, mk_b, wt_b, ff_b in batches():
                 M = self._one_step(M, xb, talp[b], trad[b],

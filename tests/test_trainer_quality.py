@@ -319,3 +319,19 @@ def test_fused_trainer_quality_matches_unfused(ex_dat):
     # same batches, same schedule; the fused pipeline's winner search lags
     # one batch behind the two-kernel path's, so anchor on quality
     assert q_f < 1.1 * q_ref, (q_f, q_ref)
+
+
+def test_fused_trainer_bf16_resident(ex_dat):
+    """bf16-resident codebook on the fused path: finite, float32 out,
+    and learns to a quality close to the f32 run."""
+    codes = _rand_codes(ex_dat, xdim=8, ydim=6)
+    tr32 = SOMTrainer(codes, batch_size=256, use_pallas=True, seed=5)
+    out32 = tr32.fit(ex_dat, rlen=4000, alpha=0.05, radius=4.0)
+    q32 = find_qerror(out32, ex_dat, mode="fast") / ex_dat.n
+
+    tr16 = SOMTrainer(codes, batch_size=256, use_pallas=True, seed=5, bf16=True)
+    out16 = tr16.fit(ex_dat, rlen=4000, alpha=0.05, radius=4.0)
+    assert out16.points.dtype == np.float32
+    assert np.isfinite(out16.points).all()
+    q16 = find_qerror(out16, ex_dat, mode="fast") / ex_dat.n
+    assert q16 < 1.1 * q32, (q16, q32)
