@@ -171,6 +171,34 @@ def bench_olvq1(codes0, xb):
     return slope_time(chain)
 
 
+def bench_sharded(codes0, xb):
+    """TP+DP sharded step on a 1-device mesh: records the shard_map +
+    collective machinery overhead on real hardware (multi-chip execution
+    itself is validated by dryrun_multichip on a virtual mesh)."""
+    from som_lvq_pak_tpu.models.fast import unit_coords
+    from som_lvq_pak_tpu.parallel.mesh import make_mesh
+    from som_lvq_pak_tpu.parallel.sharded import (
+        make_sharded_som_train_step,
+        shard_arrays,
+    )
+
+    mesh = make_mesh(1, data=1, model=1)
+    coords = unit_coords(XDIM, N // XDIM, hexa=True)
+    step = make_sharded_som_train_step(mesh, gaussian=True, use_pallas=True)
+    cs, xs, cl, cf = shard_arrays(mesh, codes0, xb, coords)
+
+    def chain(iters):
+        c = step(cs, xs, cl, cf, ALPHA, RADIUS)
+        _ = float(np.asarray(c[0, 0]))
+        t0 = time.perf_counter()
+        for _i in range(iters):
+            c = step(c, xs, cl, cf, ALPHA, RADIUS)
+        _ = float(np.asarray(c[0, 0]))
+        return time.perf_counter() - t0
+
+    return slope_time(chain)
+
+
 def main():
     k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
     # lane-padded residents: zero columns leave distances/updates
@@ -188,6 +216,7 @@ def main():
     dt_unfused = bench_unfused(codes, xb)
     dt_dist = bench_dist(codes, xb)
     dt_olvq1 = bench_olvq1(codes, xb)
+    dt_sharded = bench_sharded(codes, xb)
 
     evals = B * N
     # fused-step HBM floor: one codebook read + one write per step
@@ -206,6 +235,7 @@ def main():
             "fused_vs_unfused_speedup": round(dt_unfused / dt_fused, 2),
             "dist_kernel_evals_per_s": round(evals / dt_dist),
             "olvq1_step_evals_per_s": round(evals / dt_olvq1),
+            "sharded_step_us_1chip_mesh": round(dt_sharded * 1e6, 1),
             "hbm_probe_tb_s": round(bw / 1e12, 2),
             "roofline_pct_f32": round(100 * floor_f32 / dt_fused, 1),
             "roofline_pct_bf16": round(100 * floor_f32 / 2 / dt_fused_bf16, 1),
