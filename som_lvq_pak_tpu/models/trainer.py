@@ -207,32 +207,37 @@ class SOMTrainer:
             chunk_iter = iter(data)
 
             def batches():
+                # Buffer chunks HOST-side (NumPy) and ship only
+                # fixed-(batch, D) arrays: one compiled transfer shape for
+                # the whole run.  Slicing/concatenating jnp buffers of
+                # varying sizes costs one tunnel compile per distinct
+                # shape — measured tens of seconds on the first lap of a
+                # 1 M-vector stream.  The reader's background thread
+                # still prefetches/parses ahead of device compute, and
+                # device_put of each batch is async against the previous
+                # step.
                 import jax
 
-                def put(chunk):
-                    """Start the host->device transfers for a chunk
-                    (async: overlaps the previous step's compute)."""
+                def pack(chunk):
                     return (
-                        jax.device_put(np.ascontiguousarray(chunk.points)),
-                        (None if chunk.mask is None
-                         else jax.device_put(chunk.mask)),
-                        (None if not use_weights or chunk.weight is None
-                         else jax.device_put(chunk.weight)),
-                        (None if fixed_flat(chunk) is None
-                         else jax.device_put(fixed_flat(chunk))),
+                        np.ascontiguousarray(chunk.points),
+                        chunk.mask,
+                        (chunk.weight if use_weights and chunk.weight is not None
+                         else None),
+                        fixed_flat(chunk),
                         chunk.n,
                     )
 
                 def next_chunk():
                     try:
-                        return put(next(chunk_iter))
+                        return pack(next(chunk_iter))
                     except StopIteration:
                         return None
 
-                bufs = []  # list of (X, mk, wt, ff, n) device tuples
+                bufs = []  # list of (X, mk, wt, ff, n) host tuples
                 buffered = 0
                 b = start
-                pending = next_chunk()  # one chunk in flight ahead
+                pending = next_chunk()  # parsed one chunk ahead
                 while b < nb:
                     while buffered < self.batch_size:
                         if pending is None:
@@ -247,40 +252,37 @@ class SOMTrainer:
                             )
                         bufs.append(pending)
                         buffered += pending[-1]
-                        pending = next_chunk()  # prefetch the next one
+                        pending = next_chunk()
 
-                    def cat(i, pad):
+                    def cat(i, fill, shape, dtype):
                         parts = [t[i] for t in bufs]
-                        if any(p is None for p in parts):
-                            if all(p is None for p in parts):
-                                return None
-                            # mixed chunks: substitute neutral values
-                            parts = [
-                                (p if p is not None
-                                 else jnp.full((t[-1],) + pad[1], pad[0],
-                                               dtype=pad[2]))
-                                for p, t in zip(parts, bufs)
-                            ]
-                        return jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+                        if all(p is None for p in parts):
+                            return None
+                        parts = [
+                            (p if p is not None
+                             else np.full((t[-1],) + shape, fill, dtype=dtype))
+                            for p, t in zip(parts, bufs)
+                        ]
+                        return np.concatenate(parts) if len(parts) > 1 else parts[0]
 
                     D = bufs[0][0].shape[1]
-                    X = cat(0, (0.0, (D,), jnp.float32))
-                    mk = cat(1, (0, (D,), jnp.uint8))
-                    wt = cat(2, (0.0, (), jnp.float32))
-                    ff = cat(3, (-1, (), jnp.int32))
-                    while buffered >= self.batch_size and b < nb:
-                        s = self.batch_size
-                        yield (b, X[:s],
-                               None if mk is None else mk[:s],
-                               None if wt is None else wt[:s],
-                               None if ff is None else ff[:s])
-                        X = X[s:]
-                        mk = None if mk is None else mk[s:]
-                        wt = None if wt is None else wt[s:]
-                        ff = None if ff is None else ff[s:]
+                    X = cat(0, 0.0, (D,), np.float32)
+                    mk = cat(1, 0, (D,), np.uint8)
+                    wt = cat(2, 0.0, (), np.float32)
+                    ff = cat(3, -1, (), np.int32)
+                    s = self.batch_size
+                    off = 0
+                    while buffered >= s and b < nb:
+                        yield (b, jax.device_put(X[off:off + s]),
+                               None if mk is None else jax.device_put(mk[off:off + s]),
+                               None if wt is None else jax.device_put(wt[off:off + s]),
+                               None if ff is None else jax.device_put(ff[off:off + s]))
+                        off += s
                         buffered -= s
                         b += 1
-                    bufs = [(X, mk, wt, ff, buffered)]
+                    bufs = [(X[off:], None if mk is None else mk[off:],
+                             None if wt is None else wt[off:],
+                             None if ff is None else ff[off:], buffered)]
 
         # The single-chip Pallas path runs the software-pipelined FUSED
         # step: update(batch t) + winner-search(batch t+1) in one pass

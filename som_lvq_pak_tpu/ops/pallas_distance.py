@@ -406,3 +406,131 @@ def dist_argmin_reference(x, codes):
     x2 = jnp.sum(x.astype(jnp.float32) ** 2, axis=-1)
     val = jnp.maximum(jnp.take_along_axis(d, idx[:, None], axis=-1)[:, 0] + x2, 0.0)
     return val, idx
+
+
+# ---------------------------------------------------------------------------
+# Fused distance + top-k (k <= 16) — the kNN kernel (SURVEY.md §7 hard
+# part 7: knntest/setlabel/elimin/eveninit need top-k, k <= 10)
+# ---------------------------------------------------------------------------
+
+def _select_topk(d, base_idx, k):
+    """(TB, k) smallest values + global indices from a (TB, C) block by
+    k rounds of (min, argmin, mask-out); lowest index wins ties.
+
+    `base_idx` is either a scalar offset (tile phase: global index =
+    column + offset) or a (TB, C) index array (merge phase).  The merge
+    lookup is gather-free — Mosaic's in-kernel gather lowering rejects
+    (TB, 1)-into-(TB, C) take_along_axis — using a masked row-min at the
+    argmin column instead."""
+    vals = []
+    idxs = []
+    col = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
+    intmax = jnp.iinfo(jnp.int32).max
+    for _ in range(k):
+        a = jnp.argmin(d, axis=1)[:, None]          # (TB, 1)
+        v = jnp.min(d, axis=1, keepdims=True)
+        if isinstance(base_idx, jnp.ndarray) and base_idx.ndim == 2:
+            g = jnp.min(jnp.where(col == a, base_idx, intmax),
+                        axis=1, keepdims=True)
+        else:
+            g = a + base_idx
+        vals.append(v)
+        idxs.append(g)
+        d = jnp.where(col == a, jnp.inf, d)
+    return jnp.concatenate(vals, axis=1), jnp.concatenate(idxs, axis=1)
+
+
+def _dist_topk_kernel(x_ref, m_ref, m2_ref, val_ref, idx_ref,
+                      *, k: int, tile_n: int, precision=None):
+    """Running top-k across codebook tiles: each tile's local top-k is
+    merged with the running (TB, k) state by re-selecting k from the 2k
+    candidates.  Ties take the lowest global index (the throughput-path
+    convention; the parity kNN ops keep the C insertion order)."""
+    j = pl.program_id(1)
+    xm = jax.lax.dot_general(
+        x_ref[:], m_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision,
+    )
+    d = m2_ref[:] - 2.0 * xm  # (TB, TN)
+    tv, ti = _select_topk(d, jnp.int32(j * tile_n), k)
+
+    @pl.when(j == 0)
+    def _():
+        val_ref[:] = tv
+        idx_ref[:] = ti
+
+    @pl.when(j > 0)
+    def _():
+        cv = jnp.concatenate([val_ref[:], tv], axis=1)   # (TB, 2k)
+        ci = jnp.concatenate([idx_ref[:], ti], axis=1)
+        # lower-index-first on ties: order candidates so the running
+        # (earlier-tile) entries come first and argmin's first-hit rule
+        # picks them
+        mv, mi = _select_topk(cv, ci, k)
+        val_ref[:] = mv
+        idx_ref[:] = mi
+
+
+@functools.partial(jax.jit, static_argnames=("k", "tile_b", "tile_n",
+                                             "interpret", "precision"))
+def dist_topk(
+    x: jnp.ndarray,
+    codes: jnp.ndarray,
+    k: int,
+    m2: Optional[jnp.ndarray] = None,
+    tile_b: int = 256,
+    tile_n: int = 512,
+    interpret: Optional[bool] = None,
+    precision=None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused k-NN search: returns (sq_dists (B, k), indices (B, k)),
+    ascending, without materializing (B, N) in HBM.  k <= 16 (the
+    reference tops out at k=10, elimin.c:30).  Ties order lowest index
+    first (parity paths use ops.exact's C insertion order instead)."""
+    if not 1 <= k <= 16:
+        raise ValueError(f"dist_topk: k={k} out of range (1..16)")
+    B, D = x.shape
+    N, _ = codes.shape
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    if m2 is None:
+        m2 = jnp.sum(codes.astype(jnp.float32) ** 2, axis=-1)
+
+    tile_b = min(tile_b, _round_up(B, 8))
+    tile_n = min(tile_n, _round_up(N, 128))
+    Bp = _round_up(B, tile_b)
+    Np = _round_up(N, tile_n)
+    Dp = _round_up(D, 128)
+
+    xp = jnp.zeros((Bp, Dp), dtype=x.dtype).at[:B, :D].set(x)
+    mp = jnp.zeros((Np, Dp), dtype=codes.dtype).at[:N, :D].set(codes)
+    m2p = jnp.full((1, Np), jnp.inf, dtype=jnp.float32).at[0, :N].set(m2)
+
+    grid = (Bp // tile_b, Np // tile_n)
+    val, idx = pl.pallas_call(
+        functools.partial(_dist_topk_kernel, k=k, tile_n=tile_n,
+                          precision=precision),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile_b, Dp), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, Dp), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_n), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile_b, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_b, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Bp, k), jnp.float32),
+            jax.ShapeDtypeStruct((Bp, k), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Bp * Np * Dp,
+            bytes_accessed=(Bp * Dp + Np * Dp + 2 * Bp * k) * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xp, mp, m2p)
+    x2 = jnp.sum(x.astype(jnp.float32) ** 2, axis=-1)
+    vals = jnp.maximum(val[:B] + x2[:, None], 0.0)
+    return vals, idx[:B]

@@ -183,3 +183,27 @@ def test_olvq1_maintained_m2_matches_recompute():
     np.testing.assert_allclose(np.asarray(m2n),
                                np.asarray(jnp.sum(c * c, axis=-1)),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_dist_topk_matches_oracle():
+    """Fused Pallas k-NN (running top-k merged across codebook tiles) ==
+    the XLA oracle, incl. lowest-index-first tie order."""
+    from som_lvq_pak_tpu.ops.distance import topk_winners
+    from som_lvq_pak_tpu.ops.pallas_distance import dist_topk
+
+    for B, N, D, k in ((32, 96, 5, 5), (64, 520, 20, 10), (16, 130, 7, 3)):
+        k1, k2 = jax.random.split(jax.random.PRNGKey(B))
+        x = jax.random.normal(k1, (B, D)) * 10
+        m = jax.random.normal(k2, (N, D)) * 10
+        v, i = dist_topk(x, m, k, tile_b=16, tile_n=128)
+        ri, rv = topk_winners(x, m, k)
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(ri))
+        np.testing.assert_allclose(np.asarray(v), np.asarray(rv),
+                                   rtol=1e-4, atol=1e-2)
+
+    # exact-tie order across tiles: duplicated rows, lowest index first
+    x = jnp.ones((8, 8))
+    m = jnp.tile(jnp.arange(4.0)[:, None] % 2, (1, 8))
+    m = jnp.concatenate([m, m], 0)
+    _, i = dist_topk(x, m, 4, tile_b=8, tile_n=128)
+    np.testing.assert_array_equal(np.asarray(i)[0], [1, 3, 5, 7])
