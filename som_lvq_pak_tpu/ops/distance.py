@@ -109,7 +109,8 @@ def topk_winners(
     return idx, -negd
 
 
-@partial(jax.jit, static_argnames=("k", "chunk", "reference_ties", "precision"))
+@partial(jax.jit, static_argnames=("k", "chunk", "reference_ties", "precision",
+                                   "use_pallas"))
 def chunked_topk(
     x: jnp.ndarray,
     codes: jnp.ndarray,
@@ -118,6 +119,7 @@ def chunked_topk(
     chunk: int = 4096,
     reference_ties: bool = True,
     precision="highest",
+    use_pallas: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """k-NN over a large query set without materializing the full (B, N)
     distance matrix: queries stream through in `chunk`-row tiles, each
@@ -127,7 +129,26 @@ def chunked_topk(
     reference recomputes per pick (eveninit/elimin/knntest/setlabel,
     O(N^2 dim) scalar loops — eveninit.c:46-158, lvq_rout.c:38-80);
     results match topk_winners exactly, including the reference
-    (distance asc, index desc) tie order."""
+    (distance asc, index desc) tie order.
+
+    use_pallas=True routes each tile through the fused Pallas
+    dist_topk kernel (k <= 16, no (chunk, N) block even on-chip; native
+    MXU precision, lowest-index ties) — the throughput path for huge
+    codebooks; requires reference_ties=False and mask=None."""
+    if use_pallas:
+        if reference_ties or mask is not None:
+            raise ValueError("chunked_topk(use_pallas=True) supports only "
+                             "reference_ties=False, mask=None")
+        from .pallas_distance import dist_topk
+
+        B = x.shape[0]
+        outs_v, outs_i = [], []
+        for s in range(0, B, chunk):
+            v, i = dist_topk(x[s:s + chunk], codes, k)
+            outs_v.append(v)
+            outs_i.append(i)
+        return (jnp.concatenate(outs_i) if len(outs_i) > 1 else outs_i[0],
+                jnp.concatenate(outs_v) if len(outs_v) > 1 else outs_v[0])
     B = x.shape[0]
     nchunks = -(-B // chunk)
     Bp = nchunks * chunk
