@@ -413,8 +413,15 @@ class OLVQ1Trainer:
             self._sharded = make_sharded_olvq1_train_step(mesh, clip=self.clip,
                                                           use_pallas=use_pallas)
 
-    def fit(self, data: Dataset, rlen: int, resume: bool = True,
-            progress: Optional[StepTimer] = None) -> Dataset:
+    def fit(self, data: Union[Dataset, Iterable[Dataset]], rlen: int,
+            resume: bool = True,
+            progress: Optional[StepTimer] = None,
+            allow_short_stream: bool = False) -> Dataset:
+        """`data` is a Dataset (batches sampled with replacement) or an
+        iterable of chunk Datasets (StreamingReader.chunks — the
+        reference's -buffer reading for lvqtrain, lvqtrain.c:181);
+        a stream that runs dry before rlen raises unless
+        allow_short_stream=True."""
         import jax
         import jax.numpy as jnp
 
@@ -434,15 +441,66 @@ class OLVQ1Trainer:
                     key = jnp.asarray(st.prng_key)
                 start = st.step
 
-        X = jnp.asarray(data.points)
-        xlab = jnp.asarray(data.first_labels())
-        mk = None if data.mask is None else jnp.asarray(data.mask)
-        n = data.n
-        for b in range(start, nb):
-            key, sub = jax.random.split(key)
-            idx = jax.random.randint(sub, (self.batch_size,), 0, n)
-            xb, xl = X[idx], xlab[idx]
-            mb = None if mk is None else mk[idx]
+        if isinstance(data, Dataset):
+            X = jnp.asarray(data.points)
+            xlab = jnp.asarray(data.first_labels())
+            mk = None if data.mask is None else jnp.asarray(data.mask)
+            n = data.n
+
+            def batches():
+                nonlocal key
+                for b in range(start, nb):
+                    key, sub = jax.random.split(key)
+                    idx = jax.random.randint(sub, (self.batch_size,), 0, n)
+                    yield (b, X[idx], xlab[idx],
+                           None if mk is None else mk[idx])
+        else:
+            chunk_iter = iter(data)
+
+            def batches():
+                # host-side buffering, fixed-shape device transfers (see
+                # SOMTrainer's streaming branch for the rationale)
+                bufs = []
+                buffered = 0
+                b = start
+                while b < nb:
+                    while buffered < self.batch_size:
+                        try:
+                            c = next(chunk_iter)
+                        except StopIteration:
+                            if allow_short_stream:
+                                return
+                            raise RuntimeError(
+                                f"input stream exhausted at batch {b}/{nb}: "
+                                "size laps to cover rlen, pass laps=None, "
+                                "or set allow_short_stream=True")
+                        bufs.append((np.ascontiguousarray(c.points),
+                                     c.first_labels(), c.mask, c.n))
+                        buffered += c.n
+                    X = np.concatenate([t[0] for t in bufs])
+                    L = np.concatenate([t[1] for t in bufs])
+                    has_mask = any(t[2] is not None for t in bufs)
+                    if has_mask:
+                        mk = np.concatenate([
+                            (t[2] if t[2] is not None
+                             else np.zeros((t[3], X.shape[1]), np.uint8))
+                            for t in bufs])
+                    else:
+                        mk = None
+                    s = self.batch_size
+                    off = 0
+                    while buffered >= s and b < nb:
+                        yield (b, jax.device_put(X[off:off + s]),
+                               jax.device_put(L[off:off + s]),
+                               None if mk is None
+                               else jax.device_put(mk[off:off + s]))
+                        off += s
+                        buffered -= s
+                        b += 1
+                    bufs = [(X[off:], L[off:],
+                             None if mk is None else mk[off:], buffered)]
+
+        for b, xb, xl, mb in batches():
             if self.mesh is None:
                 M, alphas = olvq1_batch_step(M, clabels, alphas, xb, xl,
                                              clip=self.clip,

@@ -146,3 +146,24 @@ def test_som_trainer_streaming_masked_weighted(golden_dir):
     q = som.find_qerror(out, data, mode="parity") / data.n
     q0 = som.find_qerror(codes, data, mode="parity") / data.n
     assert q < 1.5 * q0
+
+
+def test_olvq1_trainer_streaming_input(ref_dir):
+    """OLVQ1Trainer with a StreamingReader input (the -buffer analogue
+    for LVQ training, lvqtrain.c:181) trains to a usable accuracy."""
+    from som_lvq_pak_tpu.models import eval as ev
+    from som_lvq_pak_tpu.models import lvq
+
+    d1 = read_data(os.path.join(ref_dir, "ex1.dat"))
+    d2 = read_data(os.path.join(ref_dir, "ex2.dat"))
+    codes = lvq.eveninit(d1, noc=100)
+    sr = StreamingReader(os.path.join(ref_dir, "ex1.dat"), buffer=256)
+    tr = OLVQ1Trainer(codes, batch_size=64, use_pallas=False, seed=2)
+    out = tr.fit(sr.chunks(laps=None), rlen=3000)
+    pct, _, _ = ev.accuracy(d2, out)
+    assert pct > 82.0
+
+    sr = StreamingReader(os.path.join(ref_dir, "ex1.dat"), buffer=256)
+    tr = OLVQ1Trainer(codes, batch_size=64, use_pallas=False, seed=2)
+    with pytest.raises(RuntimeError, match="stream exhausted"):
+        tr.fit(sr.chunks(laps=1), rlen=30000)
