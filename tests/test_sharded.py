@@ -167,3 +167,21 @@ def test_ring_winner_search_matches_reference(mesh):
     np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref_idx))
     np.testing.assert_allclose(np.asarray(val), np.asarray(ref_val),
                                rtol=1e-5, atol=1e-4)
+
+
+def test_dim_sharded_winner_search_large_codebook(mesh):
+    """SP path at the BASELINE 65k-codebook scale: the tiled scan must
+    run within memory (never materializing (B, 65536)) and agree with
+    the exact argmin."""
+    from som_lvq_pak_tpu.ops.pallas_distance import dist_argmin_reference
+    from som_lvq_pak_tpu.parallel.sharded import make_dim_sharded_winner
+
+    B, N, D = 16, 65536, 32
+    k1, k2 = jax.random.split(jax.random.PRNGKey(17))
+    codes = jax.random.normal(k1, (N, D), dtype=jnp.float32)
+    xb = jax.random.normal(k2, (B, D), dtype=jnp.float32) * 3
+    _, ref_idx = dist_argmin_reference(xb, codes)
+
+    winner = make_dim_sharded_winner(mesh, chunk=2048)
+    _, idx = winner(xb, codes)
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref_idx))
