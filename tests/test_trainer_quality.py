@@ -335,3 +335,19 @@ def test_fused_trainer_bf16_resident(ex_dat):
     assert np.isfinite(out16.points).all()
     q16 = find_qerror(out16, ex_dat, mode="fast") / ex_dat.n
     assert q16 < 1.1 * q32, (q16, q32)
+
+
+def test_vmem_grouped_trainer_matches_stepwise(ex_dat):
+    """The VMEM-resident K-steps-per-dispatch path must produce exactly
+    the same codebook as the stepwise fused pipeline (same batches, same
+    math; covers group boundaries + next_first chaining with a final
+    partial group)."""
+    codes = _rand_codes(ex_dat, xdim=8, ydim=6)
+    # 40 batches: one full 32-group + one partial 8-group
+    kw = dict(batch_size=64, use_pallas=True, seed=9)
+    out_v = SOMTrainer(codes, vmem_steps=None, **kw).fit(
+        ex_dat, rlen=40 * 64, alpha=0.05, radius=4.0)
+    out_s = SOMTrainer(codes, vmem_steps=False, **kw).fit(
+        ex_dat, rlen=40 * 64, alpha=0.05, radius=4.0)
+    np.testing.assert_allclose(out_v.points, out_s.points,
+                               rtol=1e-5, atol=1e-5)
