@@ -61,12 +61,21 @@ ALPHA, RADIUS = jnp.float32(0.02), jnp.float32(3.0)
 def slope_time(chain):
     """True per-step seconds: `chain(iters)` runs a warm dependent chain
     of `iters` steps ending in a host fetch and returns its wall time;
-    the (LONG - SHORT) slope cancels dispatch floor and readiness slack."""
-    best = None
+    the (LONG - SHORT) slope cancels dispatch floor and readiness slack.
+    Non-positive slopes (pure noise: the short chain outran the long
+    one) are discarded and the MEDIAN of the rest is reported (a lucky
+    near-zero slope must not win); if every repeat is noise, fall back
+    to the smallest long-chain average as an upper bound."""
+    slopes = []
+    longs = []
     for _ in range(BEST_OF):
-        t = (chain(LONG) - chain(SHORT)) / (LONG - SHORT)
-        best = t if best is None else min(best, t)
-    return max(best, 1e-9)
+        ts, tl = chain(SHORT), chain(LONG)
+        slopes.append((tl - ts) / (LONG - SHORT))
+        longs.append(tl / LONG)
+    pos = sorted(s for s in slopes if s > 0)
+    if not pos:
+        return min(longs)
+    return pos[len(pos) // 2]
 
 
 def measure_bw():
@@ -234,6 +243,43 @@ def bench_vmem_steps():
     return t, noc, Bv
 
 
+def bench_somexample_shape():
+    """The reference's own vsom workload shape (96 units x 5 dim, the
+    63 M evals/s baseline) through the VMEM-resident path: the
+    apples-to-apples comparison at equal codebook size."""
+    from som_lvq_pak_tpu.ops.pallas_som import som_vmem_train_steps
+
+    noc, Bv, K, xdim = 96, 128, 64, 12
+    k1, k2 = jax.random.split(jax.random.PRNGKey(6))
+    codes = jnp.zeros((noc, DP), jnp.float32).at[:, :5].set(
+        jax.random.normal(k1, (noc, 5)))
+    batches = jnp.zeros((K, Bv, DP), jnp.float32).at[:, :, :5].set(
+        jax.random.normal(k2, (K, Bv, 5)))
+    alphas = jnp.full((K,), 0.02)
+    radii = jnp.full((K,), 3.0)
+    _, bmu0 = dist_argmin(batches[0], codes)
+    f = jax.jit(lambda c, bs, b0: som_vmem_train_steps(
+        c, bs, b0, alphas, radii, xdim, True, gaussian=False, row_chunk=96))
+
+    def chain(iters):
+        c, bm = f(codes, batches, bmu0)
+        _ = float(np.asarray(c[0, 0]))
+        t0 = time.perf_counter()
+        for _i in range(iters):
+            c, bm = f(c, batches, bm)
+        _ = float(np.asarray(c[0, 0]))
+        return time.perf_counter() - t0
+
+    global SHORT, LONG
+    short, long_ = SHORT, LONG
+    SHORT, LONG = 10, 40
+    try:
+        t = slope_time(chain) / K
+    finally:
+        SHORT, LONG = short, long_
+    return noc * Bv / t  # evals/s at the reference's codebook size
+
+
 def main():
     k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
     # lane-padded residents: zero columns leave distances/updates
@@ -253,6 +299,7 @@ def main():
     dt_olvq1 = bench_olvq1(codes, xb)
     dt_sharded = bench_sharded(codes, xb)
     dt_vmem, vm_noc, vm_b = bench_vmem_steps()
+    se_evals = bench_somexample_shape()
 
     evals = B * N
     # fused-step HBM floor: one codebook read + one write per step
@@ -274,6 +321,8 @@ def main():
             "sharded_step_us_1chip_mesh": round(dt_sharded * 1e6, 1),
             "vmem_resident_step_us": round(dt_vmem * 1e6, 1),
             "vmem_resident_evals_per_s": round(vm_noc * vm_b / dt_vmem),
+            "somexample_shape_evals_per_s": round(se_evals),
+            "somexample_shape_vs_reference": round(se_evals / BASELINE_EVALS_PER_S, 1),
             "hbm_probe_tb_s": round(bw / 1e12, 2),
             "roofline_pct_f32": round(100 * floor_f32 / dt_fused, 1),
             "roofline_pct_bf16": round(100 * floor_f32 / 2 / dt_fused_bf16, 1),
