@@ -514,7 +514,6 @@ def _som_vmem_steps_kernel(
     *,
     gaussian: bool,
     row_chunk: int,
-    n_steps: int,
     xdim: int,
     hexa: bool,
     noc: int,
@@ -628,7 +627,7 @@ def som_vmem_train_steps(
 
     kern = functools.partial(
         _som_vmem_steps_kernel,
-        gaussian=gaussian, row_chunk=row_chunk, n_steps=K,
+        gaussian=gaussian, row_chunk=row_chunk,
         xdim=xdim, hexa=hexa, noc=noc,
     )
     codes_new, bmu_next = pl.pallas_call(
