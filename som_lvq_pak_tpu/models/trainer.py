@@ -185,22 +185,33 @@ class SOMTrainer:
             ff = None if ff is None else jnp.asarray(ff)
             n = data.n
 
+            perm_cache = {}
+
+            def lap_perm(lap):
+                # resume-safe: lap perms derive from fold_in(seed, lap),
+                # not from consumed key state; cache the current lap's
+                # (recomputing an n-element permutation per batch is an
+                # O(n) host pull each step)
+                if lap not in perm_cache:
+                    perm_cache.clear()
+                    perm_cache[lap] = np.asarray(
+                        jax.random.permutation(jax.random.fold_in(key, lap), n))
+                return perm_cache[lap]
+
             def batches():
                 # per-lap shuffled order: lap l is an independent
                 # permutation of all n samples, batches cut from the
-                # concatenated laps (resume-safe: lap perms derive from
-                # fold_in(seed, lap), not from consumed key state)
+                # concatenated laps — the batch analogue of the
+                # reference's per-lap shuffle (datafile.c:338-341)
                 for b in range(start, nb):
                     lo = b * self.batch_size
                     idx_np = np.empty((self.batch_size,), dtype=np.int64)
                     got = 0
                     while got < self.batch_size:
                         lap, off = divmod(lo + got, n)
-                        perm = jax.random.permutation(
-                            jax.random.fold_in(key, lap), n
-                        )
+                        perm = lap_perm(lap)
                         take = min(self.batch_size - got, n - off)
-                        idx_np[got:got + take] = np.asarray(perm[off:off + take])
+                        idx_np[got:got + take] = perm[off:off + take]
                         got += take
                     idx = jnp.asarray(idx_np)
                     yield (b, X[idx],
