@@ -1,6 +1,9 @@
 from .mesh import class_blocked_order, initialize_distributed, make_mesh
 from .sharded import (
+    ClassBlockedOLVQ1,
     dim_sharded_winner_search,
+    make_ring_winner,
+    ring_winner_search,
     make_dim_sharded_winner,
     make_sharded_olvq1_train_step,
     make_sharded_som_train_step,
@@ -20,4 +23,7 @@ __all__ = [
     "make_sharded_som_train_step",
     "make_sharded_olvq1_train_step",
     "make_dim_sharded_winner",
+    "ring_winner_search",
+    "make_ring_winner",
+    "ClassBlockedOLVQ1",
 ]
