@@ -167,3 +167,26 @@ def test_olvq1_trainer_streaming_input(ref_dir):
     tr = OLVQ1Trainer(codes, batch_size=64, use_pallas=False, seed=2)
     with pytest.raises(RuntimeError, match="stream exhausted"):
         tr.fit(sr.chunks(laps=1), rlen=30000)
+
+
+def test_som_trainer_checkpoint_resume_pallas(ex_dat, tmp_path):
+    """Resume through the Pallas path reproduces the uninterrupted run
+    (lap permutations derive from fold_in(seed, lap), so a restart
+    regenerates the identical batch sequence).  40 batches = a full
+    32-step VMEM group + a partial group; the VMEM path checkpoints at
+    group boundaries, so resume restarts from step 32 exactly."""
+    init = som.randinit(ex_dat, Topology.HEXA, Neighborhood.BUBBLE, 6, 4,
+                        CRandom(3))
+    d = str(tmp_path / "ckp")
+    tr = SOMTrainer(init, batch_size=128, checkpoint_dir=d,
+                    checkpoint_interval=2, use_pallas=True, seed=5)
+    full = tr.fit(ex_dat, rlen=128 * 40, alpha=0.05, radius=4.0)
+
+    tr2 = SOMTrainer(init, batch_size=128, checkpoint_dir=d,
+                     use_pallas=True, seed=5)
+    assert 32 in tr2.ckpt.steps(), tr2.ckpt.steps()
+    for s in tr2.ckpt.steps():
+        if s > 32:
+            os.remove(os.path.join(d, f"step_{s}.npz"))
+    resumed = tr2.fit(ex_dat, rlen=128 * 40, alpha=0.05, radius=4.0, resume=True)
+    np.testing.assert_allclose(resumed.points, full.points, rtol=1e-5, atol=1e-5)
