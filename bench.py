@@ -38,6 +38,17 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax
+
+# persistent compilation cache: first compiles through the TPU tunnel can
+# take minutes in contended phases; cached executables make reruns cheap
+try:
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("SOMVQ_COMPILE_CACHE",
+                                     "/tmp/somvq_jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
+
 import jax.numpy as jnp
 
 from som_lvq_pak_tpu.models.fast import olvq1_batch_step
