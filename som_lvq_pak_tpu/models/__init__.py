@@ -19,7 +19,7 @@ from .fast import (
     unit_coords,
 )
 from .sammon import mapping_error, remove_identicals, sammon, sammon_fast
-from .trainer import OLVQ1Trainer, SOMTrainer
+from .trainer import LVQTrainer, OLVQ1Trainer, SOMTrainer
 from .umatrix import average_umatrix, calc_umatrix, median_umatrix
 
 __all__ = [
@@ -56,4 +56,5 @@ __all__ = [
     "median_umatrix",
     "SOMTrainer",
     "OLVQ1Trainer",
+    "LVQTrainer",
 ]

@@ -451,10 +451,15 @@ def _lvq23_train(
     snapshot=None,
     progress=None,
     buffer: int = 0,
+    mode: str = "parity",
 ) -> Dataset:
     """Shared lvq2.1/lvq3 loop (lvq_rout.c:702-916). epsilon=None → lvq2."""
     order = _train_setup(codes, data, rlen, random_order, rng, buffer)
     talpha = alpha_schedule(rlen, alpha, alpha_type)
+    if mode == "fast":
+        return _lvq23_fast(codes, data, order, talpha, winlen, epsilon)
+    if mode != "parity":
+        raise ValueError(f"unknown mode {mode!r} (parity|fast)")
     # C: (1-winlen)/(1+winlen) in float
     wl = F32(F32(1.0 - F32(winlen)) / F32(1.0 + F32(winlen)))
     pts = codes.points.copy()
@@ -499,18 +504,19 @@ def _maybe_snapshot(snapshot, le, codes_meta, pts):
 def lvq2_train(codes, data, rlen, alpha, winlen, alpha_type=ALPHA_LINEAR,
                random_order=False, rng=None, mode="parity", snapshot=None,
                progress=None, buffer=0):
-    """lvq2.1 window-rule training (lvq_rout.c:702-803)."""
+    """lvq2.1 window-rule training (lvq_rout.c:702-803).  mode='fast'
+    runs the jitted device scan (_lvq23_fast); 'parity' is bit-exact."""
     return _lvq23_train(codes, data, rlen, alpha, winlen, None, alpha_type,
-                        random_order, rng, snapshot, progress, buffer)
+                        random_order, rng, snapshot, progress, buffer, mode)
 
 
 def lvq3_train(codes, data, rlen, alpha, winlen, epsilon,
                alpha_type=ALPHA_LINEAR, random_order=False, rng=None,
                mode="parity", snapshot=None, progress=None, buffer=0):
     """lvq3 training: lvq2.1 rule + same-class epsilon pull
-    (lvq_rout.c:808-916)."""
+    (lvq_rout.c:808-916).  mode='fast' runs the jitted device scan."""
     return _lvq23_train(codes, data, rlen, alpha, winlen, epsilon, alpha_type,
-                        random_order, rng, snapshot, progress, buffer)
+                        random_order, rng, snapshot, progress, buffer, mode)
 
 
 # ---------------------------------------------------------------------------
@@ -543,6 +549,64 @@ def _lvq1_fast(codes: Dataset, data: Dataset, order, talpha) -> Dataset:
     final, _ = jax.jit(lambda c: jax.lax.scan(step, c, (jnp.asarray(order), jnp.asarray(talpha))))(
         jnp.asarray(codes.points)
     )
+    return replace(codes, points=np.asarray(final), comments=[])
+
+
+def _lvq23_fast(codes: Dataset, data: Dataset, order, talpha,
+                winlen: float, epsilon: Optional[float]) -> Dataset:
+    """Jitted sequential lvq2.1/lvq3 scan: per-sample top-2 winner on
+    the device, window predicate d1/d2 > (1-w)/(1+w), exclusive
+    window-pair / same-class-epsilon updates (lvq_rout.c:702-916).
+    Sequential-sample semantics preserved (one sample per scan step);
+    differs from parity only in accumulation order/precision."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.distance import sq_distances
+
+    X = jnp.asarray(data.points)
+    M = None if data.mask is None else jnp.asarray(data.mask)
+    dlab = jnp.asarray(data.first_labels())
+    clab = jnp.asarray(codes.first_labels())
+    wl = jnp.float32(F32(F32(1.0 - F32(winlen)) / F32(1.0 + F32(winlen))))
+    lvq3 = epsilon is not None
+    eps = jnp.float32(epsilon if lvq3 else 0.0)
+
+    def step(pts, inp):
+        s, a = inp
+        x = X[s][None, :]
+        xm = None if M is None else M[s][None, :]
+        d = sq_distances(x, pts, xm)[0]
+        negd, idx = jax.lax.top_k(-d, 2)
+        b, nb = idx[0], idx[1]
+        ds_, nds = -negd[0], -negd[1]
+        lab, nlab, dl = clab[b], clab[nb], dlab[s]
+        in_win = jnp.where(nds > 0, ds_ / jnp.where(nds > 0, nds, 1.0),
+                           jnp.inf) > wl
+        window_rule = (lab != nlab) & ((lab == dl) | (nlab == dl)) & in_win
+        swap = nlab == dl
+        b2 = jnp.where(swap, nb, b)
+        nb2 = jnp.where(swap, b, nb)
+        ab = jnp.where(window_rule, a, 0.0)
+        keep = 1.0 if xm is None else (1.0 - xm[0].astype(jnp.float32))
+        d_b = ab * keep * (x[0] - pts[b2])
+        d_nb = -ab * keep * (x[0] - pts[nb2])
+        if lvq3:
+            # exclusive with the window branch (lab == nlab there), so
+            # deltas computed from the pre-update rows are exact
+            same = (lab == nlab) & (lab == dl)
+            ae = jnp.where(same, a * eps, 0.0)
+            d_e1 = ae * keep * (x[0] - pts[b])
+            d_e2 = ae * keep * (x[0] - pts[nb])
+            pts = (pts.at[b2].add(d_b).at[nb2].add(d_nb)
+                   .at[b].add(d_e1).at[nb].add(d_e2))
+        else:
+            pts = pts.at[b2].add(d_b).at[nb2].add(d_nb)
+        return pts, None
+
+    final, _ = jax.jit(
+        lambda c: jax.lax.scan(step, c, (jnp.asarray(order), jnp.asarray(talpha)))
+    )(jnp.asarray(codes.points))
     return replace(codes, points=np.asarray(final), comments=[])
 
 

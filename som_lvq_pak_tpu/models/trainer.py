@@ -253,6 +253,23 @@ class SOMTrainer:
                 buffered = 0
                 b = start
                 pending = next_chunk()  # parsed one chunk ahead
+                # resume-exact streaming: fast-forward start*batch_size
+                # samples so batch b trains on the same stream positions
+                # it would have seen in the uninterrupted run (a resumed
+                # late-schedule batch must not retrain the stream's head)
+                skip = start * self.batch_size
+                while skip > 0 and pending is not None:
+                    X, mk, wt, ff, n = pending
+                    if n <= skip:
+                        skip -= n
+                        pending = next_chunk()
+                    else:
+                        pending = (X[skip:],
+                                   None if mk is None else mk[skip:],
+                                   None if wt is None else wt[skip:],
+                                   None if ff is None else ff[skip:],
+                                   n - skip)
+                        skip = 0
                 while b < nb:
                     while buffered < self.batch_size:
                         if pending is None:
@@ -311,12 +328,21 @@ class SOMTrainer:
         )
         D = self.meta.dim
 
+        # interval checkpoints fire whenever >= interval batches have
+        # elapsed since the last save — on the VMEM multi-step path
+        # maybe_ckpt only runs at group boundaries, so an exact-modulo
+        # test would silently skip every interval that doesn't divide a
+        # boundary step (e.g. interval=10 with 63 batches wrote nothing)
+        last_ckpt = start
+
         def maybe_ckpt(b, M):
+            nonlocal last_ckpt
             if (
                 self.ckpt is not None
                 and self.checkpoint_interval
-                and (b + 1) % self.checkpoint_interval == 0
+                and (b + 1) - last_ckpt >= self.checkpoint_interval
             ):
+                last_ckpt = b + 1
                 self.ckpt.save(TrainState(
                     codes=np.asarray(M, dtype=np.float32)[:, :D], step=b + 1,
                     prng_key=np.asarray(key),
@@ -327,7 +353,11 @@ class SOMTrainer:
             import jax
 
             from ..ops.pallas_distance import dist_argmin
-            from ..ops.pallas_som import som_fused_train_step
+            from ..ops.pallas_som import (
+                _factored_geometry_ok,
+                pick_fused_tile_n,
+                som_fused_train_step,
+            )
 
             Dp = -(-D // 128) * 128
             Mp = jnp.zeros((self.meta.n, Dp), jnp.float32).at[:, :D].set(M)
@@ -361,6 +391,11 @@ class SOMTrainer:
                 self.vmem_steps is not False
                 and self.meta.n * Dp * 4 <= (4 << 20)
                 and row_chunk is not None
+                # user-set batch sizes must leave the (row_chunk, B)
+                # working blocks + resident codebook under the ~16 MB
+                # scoped-VMEM limit or Mosaic compilation fails
+                and (2 * self.meta.n * Dp * 4 + 2 * self.batch_size * Dp * 4
+                     + 3 * (row_chunk or 0) * self.batch_size * 4) <= (14 << 20)
                 and not (use_fixed and getattr(data, "fixed", None) is not None)
                 and not self.bf16
             )
@@ -402,6 +437,16 @@ class SOMTrainer:
                     self.ckpt.wait()
                 return self.meta
 
+            # VMEM-safe tile size for the user's batch_size; prefer the
+            # separable-neighborhood kernel when the grid geometry allows
+            tn_fact = pick_fused_tile_n(self.meta.n, self.batch_size, Dp,
+                                        xdim=self.meta.xdim, factored=True)
+            factored = _factored_geometry_ok(
+                self.meta.n, self.meta.xdim, tn_fact, hexa)
+            tile_n = tn_fact if factored else pick_fused_tile_n(
+                self.meta.n, self.batch_size, Dp)
+            d_real = D if (D < Dp and D % 8 == 0) else None
+
             it = batches()
             prev = next(it, None)
             if prev is not None:
@@ -417,7 +462,8 @@ class SOMTrainer:
                 Mp, bmu_next, _ = som_fused_train_step(
                     Mp, xb_p, bmu, xn_p, self.meta.xdim, hexa,
                     eff_alpha(b, wt_b, mk_b), jnp.float32(trad[b]),
-                    gaussian=self.gaussian,
+                    gaussian=self.gaussian, tile_n=tile_n,
+                    factored=factored, d_real=d_real,
                 )
                 if nxt is not None:
                     bmu = bmu_next
@@ -442,6 +488,178 @@ class SOMTrainer:
             ))
             self.ckpt.wait()
         self.meta = replace(self.meta, points=np.asarray(M)[:, :D], comments=[])
+        return self.meta
+
+
+def _labeled_batches(data, start, nb, batch_size, keybox,
+                     allow_short_stream=False):
+    """Yield (b, xb, xlab, mask) minibatches for the LVQ drivers.
+
+    `data` is a Dataset (batches sampled with replacement, advancing
+    keybox['key'] one split per batch — resume-stable because the key is
+    checkpointed) or an iterable of chunk Datasets (host-side buffering
+    with fixed-shape device transfers; resume fast-forwards
+    start*batch_size stream samples — see SOMTrainer's streaming branch
+    for the rationale)."""
+    import jax
+
+    np_ = np
+    if isinstance(data, Dataset):
+        import jax.numpy as jnp
+
+        X = jnp.asarray(data.points)
+        xlab = jnp.asarray(data.first_labels())
+        mk = None if data.mask is None else jnp.asarray(data.mask)
+        n = data.n
+        for b in range(start, nb):
+            keybox["key"], sub = jax.random.split(keybox["key"])
+            idx = jax.random.randint(sub, (batch_size,), 0, n)
+            yield (b, X[idx], xlab[idx], None if mk is None else mk[idx])
+        return
+
+    chunk_iter = iter(data)
+    bufs = []
+    buffered = 0
+    b = start
+    skip = start * batch_size
+    while b < nb:
+        while buffered < batch_size:
+            try:
+                c = next(chunk_iter)
+            except StopIteration:
+                if allow_short_stream:
+                    return
+                raise RuntimeError(
+                    f"input stream exhausted at batch {b}/{nb}: "
+                    "size laps to cover rlen, pass laps=None, "
+                    "or set allow_short_stream=True")
+            t = (np_.ascontiguousarray(c.points), c.first_labels(),
+                 c.mask, c.n)
+            if skip > 0:
+                if t[3] <= skip:
+                    skip -= t[3]
+                    continue
+                t = (t[0][skip:], t[1][skip:],
+                     None if t[2] is None else t[2][skip:], t[3] - skip)
+                skip = 0
+            bufs.append(t)
+            buffered += t[3]
+        X = np_.concatenate([t[0] for t in bufs])
+        L = np_.concatenate([t[1] for t in bufs])
+        has_mask = any(t[2] is not None for t in bufs)
+        if has_mask:
+            mk = np_.concatenate([
+                (t[2] if t[2] is not None
+                 else np_.zeros((t[3], X.shape[1]), np_.uint8))
+                for t in bufs])
+        else:
+            mk = None
+        s = batch_size
+        off = 0
+        while buffered >= s and b < nb:
+            yield (b, jax.device_put(X[off:off + s]),
+                   jax.device_put(L[off:off + s]),
+                   None if mk is None else jax.device_put(mk[off:off + s]))
+            off += s
+            buffered -= s
+            b += 1
+        bufs = [(X[off:], L[off:],
+                 None if mk is None else mk[off:], buffered)]
+
+
+class LVQTrainer:
+    """Minibatch lvq1 / lvq2.1 / lvq3 training at device speed — the
+    production-driver counterpart of the reference's lvqtrain dispatch
+    (lvqtrain.c:214-237) for the fixed-alpha algorithms; olvq1's
+    adaptive-alpha driver is OLVQ1Trainer.  Batched steps:
+    models.fast.lvq1_batch_step / lvq23_batch_step."""
+
+    def __init__(
+        self,
+        codes: Dataset,
+        algorithm: str = "lvq1",
+        batch_size: int = 1024,
+        winlen: float = 0.3,
+        epsilon: float = 0.1,
+        checkpoint_dir: Optional[str] = None,
+        checkpoint_interval: int = 0,
+        seed: int = 0,
+        use_pallas: Optional[bool] = None,
+    ):
+        import jax
+
+        if algorithm not in ("lvq1", "lvq2", "lvq3"):
+            raise ValueError(
+                f"unknown algorithm {algorithm!r} (lvq1|lvq2|lvq3; "
+                "use OLVQ1Trainer for olvq1)")
+        self.meta = codes
+        self.algorithm = algorithm
+        self.batch_size = batch_size
+        self.winlen = float(winlen)
+        self.epsilon = float(epsilon)
+        self.seed = seed
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+        self.use_pallas = use_pallas
+        self.ckpt = None
+        self.checkpoint_interval = checkpoint_interval
+        if checkpoint_dir is not None:
+            self.ckpt = Checkpointer(checkpoint_dir, background=True)
+
+    def fit(self, data: Union[Dataset, Iterable[Dataset]], rlen: int,
+            alpha: float, alpha_type: str = "linear",
+            resume: bool = True,
+            progress: Optional[StepTimer] = None,
+            allow_short_stream: bool = False) -> Dataset:
+        """Train for `rlen` samples (grouped into batches); the alpha
+        schedule (linear_alpha / inverse_t_alpha, lvq_pak.c:901-921) is
+        evaluated at each batch's first sample."""
+        import jax
+        import jax.numpy as jnp
+
+        from .fast import lvq1_batch_step, lvq23_batch_step
+
+        nb = max(1, rlen // self.batch_size)
+        talp = alpha_schedule(rlen, alpha, alpha_type)[
+            :: max(1, self.batch_size)][:nb]
+        M = jnp.asarray(self.meta.points)
+        clabels = jnp.asarray(self.meta.first_labels())
+        keybox = {"key": jax.random.PRNGKey(self.seed)}
+        start = 0
+        if self.ckpt is not None and resume:
+            st = self.ckpt.load()
+            if st is not None and st.step < nb:
+                M = jnp.asarray(st.codes)
+                if st.prng_key is not None:
+                    keybox["key"] = jnp.asarray(st.prng_key)
+                start = st.step
+
+        last_ckpt = start
+        for b, xb, xl, mb in _labeled_batches(
+                data, start, nb, self.batch_size, keybox, allow_short_stream):
+            a = jnp.float32(talp[b])
+            if self.algorithm == "lvq1":
+                M = lvq1_batch_step(M, clabels, xb, xl, a,
+                                    use_pallas=self.use_pallas, mask=mb)
+            else:
+                M = lvq23_batch_step(
+                    M, clabels, xb, xl, a, jnp.float32(self.winlen),
+                    epsilon=jnp.float32(self.epsilon),
+                    lvq3=self.algorithm == "lvq3",
+                    use_pallas=self.use_pallas, mask=mb)
+            if progress is not None:
+                progress.step(self.batch_size)
+            if (self.ckpt is not None and self.checkpoint_interval
+                    and (b + 1) - last_ckpt >= self.checkpoint_interval):
+                last_ckpt = b + 1
+                self.ckpt.save(TrainState(
+                    codes=np.asarray(M), step=b + 1,
+                    prng_key=np.asarray(keybox["key"])))
+        if self.ckpt is not None:
+            self.ckpt.save(TrainState(codes=np.asarray(M), step=nb,
+                                      prng_key=np.asarray(keybox["key"])))
+            self.ckpt.wait()
+        self.meta = replace(self.meta, points=np.asarray(M), comments=[])
         return self.meta
 
 
@@ -496,7 +714,7 @@ class OLVQ1Trainer:
         M = jnp.asarray(self.meta.points)
         clabels = jnp.asarray(self.meta.first_labels())
         alphas = jnp.full((self.meta.n,), self.clip, dtype=jnp.float32)
-        key = jax.random.PRNGKey(self.seed)
+        keybox = {"key": jax.random.PRNGKey(self.seed)}
         start = 0
         if self.ckpt is not None and resume:
             st = self.ckpt.load()
@@ -505,69 +723,11 @@ class OLVQ1Trainer:
                 if st.alphas is not None:
                     alphas = jnp.asarray(st.alphas)
                 if st.prng_key is not None:
-                    key = jnp.asarray(st.prng_key)
+                    keybox["key"] = jnp.asarray(st.prng_key)
                 start = st.step
 
-        if isinstance(data, Dataset):
-            X = jnp.asarray(data.points)
-            xlab = jnp.asarray(data.first_labels())
-            mk = None if data.mask is None else jnp.asarray(data.mask)
-            n = data.n
-
-            def batches():
-                nonlocal key
-                for b in range(start, nb):
-                    key, sub = jax.random.split(key)
-                    idx = jax.random.randint(sub, (self.batch_size,), 0, n)
-                    yield (b, X[idx], xlab[idx],
-                           None if mk is None else mk[idx])
-        else:
-            chunk_iter = iter(data)
-
-            def batches():
-                # host-side buffering, fixed-shape device transfers (see
-                # SOMTrainer's streaming branch for the rationale)
-                bufs = []
-                buffered = 0
-                b = start
-                while b < nb:
-                    while buffered < self.batch_size:
-                        try:
-                            c = next(chunk_iter)
-                        except StopIteration:
-                            if allow_short_stream:
-                                return
-                            raise RuntimeError(
-                                f"input stream exhausted at batch {b}/{nb}: "
-                                "size laps to cover rlen, pass laps=None, "
-                                "or set allow_short_stream=True")
-                        bufs.append((np.ascontiguousarray(c.points),
-                                     c.first_labels(), c.mask, c.n))
-                        buffered += c.n
-                    X = np.concatenate([t[0] for t in bufs])
-                    L = np.concatenate([t[1] for t in bufs])
-                    has_mask = any(t[2] is not None for t in bufs)
-                    if has_mask:
-                        mk = np.concatenate([
-                            (t[2] if t[2] is not None
-                             else np.zeros((t[3], X.shape[1]), np.uint8))
-                            for t in bufs])
-                    else:
-                        mk = None
-                    s = self.batch_size
-                    off = 0
-                    while buffered >= s and b < nb:
-                        yield (b, jax.device_put(X[off:off + s]),
-                               jax.device_put(L[off:off + s]),
-                               None if mk is None
-                               else jax.device_put(mk[off:off + s]))
-                        off += s
-                        buffered -= s
-                        b += 1
-                    bufs = [(X[off:], L[off:],
-                             None if mk is None else mk[off:], buffered)]
-
-        for b, xb, xl, mb in batches():
+        for b, xb, xl, mb in _labeled_batches(
+                data, start, nb, self.batch_size, keybox, allow_short_stream):
             if self.mesh is None:
                 M, alphas = olvq1_batch_step(M, clabels, alphas, xb, xl,
                                              clip=self.clip,
@@ -588,11 +748,11 @@ class OLVQ1Trainer:
                     and (b + 1) % self.checkpoint_interval == 0):
                 self.ckpt.save(TrainState(codes=np.asarray(M), step=b + 1,
                                           alphas=np.asarray(alphas),
-                                          prng_key=np.asarray(key)))
+                                          prng_key=np.asarray(keybox["key"])))
         if self.ckpt is not None:
             self.ckpt.save(TrainState(codes=np.asarray(M), step=nb,
                                       alphas=np.asarray(alphas),
-                                      prng_key=np.asarray(key)))
+                                      prng_key=np.asarray(keybox["key"])))
             self.ckpt.wait()
         self.meta = replace(self.meta, points=np.asarray(M), comments=[])
         return self.meta

@@ -398,10 +398,188 @@ def _fused_argmin_epilogue(d_t, j, tile_n, val_ref, idx_ref):
         val_ref[:] = jnp.where(better, local_min, val_ref[:])
 
 
+def fused_step_vmem_bytes(tile_n: int, B: int, D: int,
+                          factored: bool = False, ydim: int = 0) -> int:
+    """Approximate VMEM working set of one fused-step grid cell: batch
+    blocks + codebook tiles + the (tile_n, B) weight/distance blocks
+    (wxa/wy axis-factor scratch on the factored path).  Used to derive a
+    tile_n that respects the ~16 MB scoped-VMEM limit for user-set batch
+    sizes (Mosaic compilation fails outright when exceeded)."""
+    common = 2 * B * D * 4 + 3 * tile_n * D * 4
+    if factored:
+        blocks = 4 * tile_n * B * 4 + _round_up(max(ydim, 8), 8) * B * 4
+    else:
+        blocks = 3 * tile_n * B * 4
+    return common + blocks
+
+
+def pick_fused_tile_n(noc: int, B: int, D: int, xdim: int = 0,
+                      factored: bool = False,
+                      budget: int = 12 << 20) -> int:
+    """Largest power-of-two-ish tile_n whose fused-step working set fits
+    `budget` (default 12 MB, leaving headroom under the ~16 MB scoped
+    limit).  When `factored`, only tile_n values compatible with the
+    separable-kernel geometry (multiples of xdim) are considered."""
+    ydim = noc // xdim if xdim else 0
+    for tn in (1024, 512, 256, 128, 64, 32, 16, 8):
+        if tn > noc:
+            continue
+        if factored and (xdim <= 0 or tn % xdim != 0):
+            continue
+        if fused_step_vmem_bytes(tn, B, D, factored, ydim) <= budget:
+            return tn
+    return 8
+
+
+def _factored_geometry_ok(noc: int, xdim: int, tile_n: int, hexa: bool) -> bool:
+    """True when the separable-neighborhood kernel applies: tiles cover
+    whole grid rows (tile_n % xdim == 0), the codebook has no padded
+    rows (noc % tile_n == 0), the sublane merge is layout-free
+    (xdim % 8 == 0), and for hexa maps every tile starts on an even grid
+    row so the odd-row x-offset pattern is tile-invariant."""
+    if noc % tile_n != 0 or tile_n % xdim != 0 or xdim % 8 != 0:
+        return False
+    rows_per_tile = tile_n // xdim
+    if hexa and rows_per_tile % 2 != 0:
+        return False
+    return True
+
+
+def _som_fused_factored_kernel(
+    bmu_ref,      # (1, B)    int32 BMU of the CURRENT batch
+    aw_ref,       # (1, B)    f32 per-sample effective alpha
+    x_ref,        # (B, D)    current batch
+    xn_ref,       # (B', D)   NEXT batch (winner search target)
+    codes_ref,    # (TN, D)   codebook tile (input)
+    r_ref,        # (1, 1)    radius
+    out_ref,      # (TN, D)   updated codebook tile
+    val_ref,      # (1, B')   next batch: running MAX score (x.m - ||m||^2/2);
+    #             rewritten to the partial distance -2*score after the last tile
+    idx_ref,      # (1, B')   next batch: running argmax
+    wxa_ref,      # (TN, B)   scratch: x-axis factor, built once at i == 0
+    #             (gaussian: aw * exp(-dx^2/2r^2); bubble: dx^2)
+    wy_ref,       # (Yp, B)   scratch: y-axis factor per grid row
+    #             (gaussian: exp(-dy^2/2r^2); bubble: dy^2)
+    *,
+    gaussian: bool,
+    tile_n: int,
+    xdim: int,
+    hexa: bool,
+    ydim: int,
+    d_real: Optional[int],
+):
+    """Separable-neighborhood fused step: the grid metric decomposes as
+    d^2 = dx^2 + dy^2 with dx a function of (unit column, row parity)
+    only and dy of the unit row only, so exp(-d^2/2r^2) factors into an
+    x-pattern shared by every tile (period 2*xdim rows, tiled to TN once
+    into scratch) times a per-grid-row y-factor — the per-tile (TN, B)
+    weight block costs ONE VPU multiply instead of ~12 VPU passes + a
+    (TN, B) exp.  exp count per step drops from noc*B to
+    (tile_n + ydim)*B.  Matmuls and the update algebra are identical to
+    _som_fused_step_kernel.
+
+    `d_real` < D slices the winner contraction to the real feature
+    count (padded lanes are zero and contribute nothing): the MXU
+    streams K=d_real instead of K=D."""
+    i = pl.program_id(0)
+    rows_per_tile = tile_n // xdim
+
+    @pl.when(i == 0)
+    def _():
+        bmu = bmu_ref[:]                                  # (1, B)
+        colb = (bmu % xdim).astype(jnp.float32)
+        rowb = bmu // xdim
+        if hexa:
+            bx = colb + 0.5 * (rowb % 2).astype(jnp.float32)
+            by = rowb.astype(jnp.float32) * _SQRT075
+        else:
+            bx = colb
+            by = rowb.astype(jnp.float32)
+        r = r_ref[0, 0]
+        s = 1.0 / (2.0 * r * r)
+        # x pattern over TN local rows: col = l % xdim, parity = (l//xdim)%2
+        l = jax.lax.broadcasted_iota(jnp.int32, (tile_n, 1), 0)
+        col = (l % xdim).astype(jnp.float32)
+        if hexa:
+            par = ((l // xdim) % 2).astype(jnp.float32)
+            xq = col + 0.5 * par
+        else:
+            xq = col
+        dx = xq - bx                                      # (TN, B)
+        dx2 = dx * dx
+        if gaussian:
+            wxa_ref[:] = aw_ref[:] * jnp.exp(-dx2 * s)
+        else:
+            wxa_ref[:] = dx2
+        # y pattern over grid rows (padded rows beyond ydim are harmless:
+        # no tile ever reads them)
+        ry = jax.lax.broadcasted_iota(
+            jnp.int32, (wy_ref.shape[0], 1), 0).astype(jnp.float32)
+        yq = ry * _SQRT075 if hexa else ry
+        dy = yq - by                                      # (Yp, B)
+        if gaussian:
+            wy_ref[:] = jnp.exp(-(dy * dy) * s)
+        else:
+            wy_ref[:] = dy * dy
+
+    B = wxa_ref.shape[1]
+    wy_blk = wy_ref[pl.ds(i * rows_per_tile, rows_per_tile), :]   # (R, B)
+    wy_exp = jnp.broadcast_to(
+        wy_blk.reshape(rows_per_tile, 1, B), (rows_per_tile, xdim, B)
+    ).reshape(tile_n, B)
+    if gaussian:
+        w = wxa_ref[:] * wy_exp                           # (TN, B)
+    else:
+        r = r_ref[0, 0]
+        w = jnp.where(wxa_ref[:] + wy_exp <= r * r, aw_ref[:], 0.0)
+
+    acc = jax.lax.dot_general(
+        w, x_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )                                                     # (TN, D)
+    wsum = jnp.sum(w, axis=1)[:, None]                    # (TN, 1)
+    newc = _guarded_blend(codes_ref[:].astype(jnp.float32), acc, wsum)
+    out_ref[:] = newc.astype(out_ref.dtype)
+
+    # winner search against the updated tile, in max-score form:
+    # argmin(||m||^2 - 2 x.m) == argmax(x.m - ||m||^2/2), saving the
+    # d = m2 - 2*mx materialization pass (score = mx - h2 is one op)
+    m2h = 0.5 * jnp.sum(newc * newc, axis=1, keepdims=True)   # (TN, 1)
+    if d_real is not None:
+        cw = newc[:, :d_real]
+        xw = xn_ref[:, :d_real]
+    else:
+        cw = newc
+        xw = xn_ref[:]
+    mx = jax.lax.dot_general(
+        cw.astype(xn_ref.dtype), xw,
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                     # (TN, B')
+    s_t = mx - m2h
+    local_max = jnp.max(s_t, axis=0, keepdims=True)               # (1, B')
+    local_arg = jnp.argmax(s_t, axis=0)[None, :] + i * tile_n     # (1, B')
+
+    @pl.when(i == 0)
+    def _():
+        val_ref[:] = local_max
+        idx_ref[:] = local_arg
+
+    @pl.when(i > 0)
+    def _():
+        better = local_max > val_ref[:]
+        idx_ref[:] = jnp.where(better, local_arg, idx_ref[:])
+        val_ref[:] = jnp.where(better, local_max, val_ref[:])
+
+    # keep the public contract: val = partial sq-dist ||m||^2 - 2 x.m
+    @pl.when(i == pl.num_programs(0) - 1)
+    def _():
+        val_ref[:] = -2.0 * val_ref[:]
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("xdim", "hexa", "gaussian", "tile_n", "interpret",
-                     "precision"),
+                     "precision", "factored", "d_real"),
 )
 def som_fused_train_step(
     codes: jnp.ndarray,     # (noc, D) — keep D lane-padded (mult of 128)
@@ -416,6 +594,8 @@ def som_fused_train_step(
     tile_n: int = 1024,
     interpret: Optional[bool] = None,
     precision=None,
+    factored: Optional[bool] = None,
+    d_real: Optional[int] = None,
 ):
     """One fused SOM training step at the HBM roofline.
 
@@ -431,7 +611,14 @@ def som_fused_train_step(
     keep tile_n * B * 4  +  2 * B * D * 4  +  3 * tile_n * D * 4 well
     under the ~16 MB VMEM budget (tile_n=1024, B=1024, D=128 ~= 7 MB).
     Codebook may be float32 or bfloat16 (bf16 halves the step's HBM
-    traffic; accumulation is f32 in-kernel either way)."""
+    traffic; accumulation is f32 in-kernel either way).
+
+    `factored` (None = auto when the grid geometry allows) selects the
+    separable-neighborhood kernel: the (TN, B) weight block is ONE VPU
+    multiply of precomputed x/y axis factors instead of a full closed-form
+    recompute with a (TN, B) exp — the VPU-bound path becomes MXU-bound.
+    `d_real` < D slices the winner contraction to the real (pre-padding)
+    feature count."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     noc, D = codes.shape
@@ -444,6 +631,58 @@ def som_fused_train_step(
             f"som_fused_train_step: D={D} must be lane-padded to a "
             "multiple of 128 (pad once, train padded — see "
             "models.fast.som_train_fast)")
+    if factored is None:
+        factored = _factored_geometry_ok(noc, xdim, tile_n, hexa)
+    if factored:
+        if not _factored_geometry_ok(noc, xdim, tile_n, hexa):
+            raise ValueError(
+                f"som_fused_train_step: factored path needs noc % tile_n "
+                f"== 0, tile_n % xdim == 0, xdim % 8 == 0 (and even rows "
+                f"per tile for hexa); got noc={noc} xdim={xdim} "
+                f"tile_n={tile_n} hexa={hexa}")
+        ydim = noc // xdim
+        bp = jnp.reshape(bmu.astype(jnp.int32), (1, B))
+        aw = jnp.broadcast_to(jnp.asarray(alpha, dtype=jnp.float32), (B,))
+        awp = jnp.reshape(aw, (1, B))
+        rr = jnp.asarray([[radius]], dtype=jnp.float32)
+        codes_new, val, idx = pl.pallas_call(
+            functools.partial(
+                _som_fused_factored_kernel,
+                gaussian=gaussian, tile_n=tile_n, xdim=xdim, hexa=hexa,
+                ydim=ydim, d_real=d_real,
+            ),
+            grid=(noc // tile_n,),
+            in_specs=[
+                pl.BlockSpec((1, B), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, B), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((B, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((Bn, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile_n, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((tile_n, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, Bn), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, Bn), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((noc, D), codes.dtype),
+                jax.ShapeDtypeStruct((1, Bn), jnp.float32),
+                jax.ShapeDtypeStruct((1, Bn), jnp.int32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((tile_n, B), jnp.float32),
+                pltpu.VMEM((_round_up(ydim, 8), B), jnp.float32),
+            ],
+            cost_estimate=pl.CostEstimate(
+                flops=2 * B * noc * D + 2 * Bn * noc * (d_real or D),
+                bytes_accessed=(2 * noc * D * codes.dtype.itemsize
+                                + (B + Bn) * D * 4 + 2 * B * 4 + 2 * Bn * 4),
+                transcendentals=(tile_n + ydim) * B if gaussian else 0,
+            ),
+            interpret=interpret,
+        )(bp, awp, xb, xb_next, codes, rr)
+        return codes_new, idx[0, :], val[0, :]
     if Np != noc:
         # pad rows to the tile multiple; the kernel masks them out of
         # the winner search and the wrapper slices them back off.  For

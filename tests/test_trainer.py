@@ -190,3 +190,68 @@ def test_som_trainer_checkpoint_resume_pallas(ex_dat, tmp_path):
             os.remove(os.path.join(d, f"step_{s}.npz"))
     resumed = tr2.fit(ex_dat, rlen=128 * 40, alpha=0.05, radius=4.0, resume=True)
     np.testing.assert_allclose(resumed.points, full.points, rtol=1e-5, atol=1e-5)
+
+
+def test_vmem_path_interval_checkpoints_fire_between_boundaries(ex_dat,
+                                                                tmp_path):
+    """The VMEM multi-step path checkpoints only at 32-batch group
+    boundaries; an interval that doesn't divide a boundary step must
+    still fire whenever >= interval batches elapsed since the last save
+    (ADVICE r2: interval=10 with 63 batches used to write nothing)."""
+    init = som.randinit(ex_dat, Topology.HEXA, Neighborhood.BUBBLE, 6, 4,
+                        CRandom(3))
+    d = str(tmp_path / "ckint")
+    tr = SOMTrainer(init, batch_size=32, checkpoint_dir=d,
+                    checkpoint_interval=10, use_pallas=True, seed=5)
+    tr.fit(ex_dat, rlen=32 * 63, alpha=0.05, radius=4.0)
+    steps = tr.ckpt.steps()
+    assert any(s < 63 for s in steps), f"no interval checkpoint: {steps}"
+
+
+def test_som_trainer_streaming_resume_fast_forwards(ex_dat, ref_dir,
+                                                    tmp_path):
+    """Resume with a streaming input must fast-forward the stream by
+    start*batch_size samples so resumed batches train on their original
+    stream positions (ADVICE r2: it used to replay the stream head)."""
+    init = som.randinit(ex_dat, Topology.HEXA, Neighborhood.BUBBLE, 6, 4,
+                        CRandom(3))
+    path = os.path.join(ref_dir, "ex.dat")
+    d = str(tmp_path / "cksr")
+    kw = dict(batch_size=128, use_pallas=False, seed=5, update="mean")
+    tr = SOMTrainer(init, checkpoint_dir=d, checkpoint_interval=3, **kw)
+    full = tr.fit(StreamingReader(path, buffer=512).chunks(laps=None),
+                  rlen=128 * 10, alpha=0.05, radius=4.0)
+
+    tr2 = SOMTrainer(init, checkpoint_dir=d, **kw)
+    assert 6 in tr2.ckpt.steps(), tr2.ckpt.steps()
+    for s in tr2.ckpt.steps():
+        if s > 6:
+            os.remove(os.path.join(d, f"step_{s}.npz"))
+    resumed = tr2.fit(StreamingReader(path, buffer=512).chunks(laps=None),
+                      rlen=128 * 10, alpha=0.05, radius=4.0)
+    np.testing.assert_allclose(resumed.points, full.points,
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_olvq1_streaming_resume_fast_forwards(ref_dir, tmp_path):
+    """Same stream fast-forward contract for OLVQ1Trainer."""
+    from som_lvq_pak_tpu.models import lvq
+
+    d1 = read_data(os.path.join(ref_dir, "ex1.dat"))
+    codes = lvq.eveninit(d1, noc=100)
+    path = os.path.join(ref_dir, "ex1.dat")
+    d = str(tmp_path / "ckolvq")
+    kw = dict(batch_size=64, use_pallas=False, seed=2)
+    tr = OLVQ1Trainer(codes, checkpoint_dir=d, checkpoint_interval=4, **kw)
+    full = tr.fit(StreamingReader(path, buffer=256).chunks(laps=None),
+                  rlen=64 * 12)
+
+    tr2 = OLVQ1Trainer(codes, checkpoint_dir=d, **kw)
+    assert 8 in tr2.ckpt.steps(), tr2.ckpt.steps()
+    for s in tr2.ckpt.steps():
+        if s > 8:
+            os.remove(os.path.join(d, f"step_{s}.npz"))
+    resumed = tr2.fit(StreamingReader(path, buffer=256).chunks(laps=None),
+                      rlen=64 * 12)
+    np.testing.assert_allclose(resumed.points, full.points,
+                               rtol=1e-6, atol=1e-6)

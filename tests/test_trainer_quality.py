@@ -304,6 +304,52 @@ def test_fused_step_matches_two_kernel_sequence():
         np.testing.assert_array_equal(np.asarray(bmu_f), np.asarray(bmu_ref))
 
 
+def test_fused_factored_kernel_matches_unfactored():
+    """The separable-neighborhood kernel (x/y axis-factor scratch, one
+    VPU multiply per tile) must reproduce the closed-form kernel to
+    float rounding — codes, winner indices, and the val contract
+    (partial sq-dist) — for hexa/rect x gaussian/bubble, with and
+    without the real-D winner contraction slice."""
+    from som_lvq_pak_tpu.ops.pallas_distance import dist_argmin
+    from som_lvq_pak_tpu.ops.pallas_som import (
+        _factored_geometry_ok,
+        som_fused_train_step,
+    )
+
+    assert _factored_geometry_ok(65536, 256, 512, True)
+    assert not _factored_geometry_ok(65536, 256, 512 + 8, True)
+    assert not _factored_geometry_ok(96, 12, 24, True)  # xdim % 8 != 0
+
+    for xdim, ydim, hexa, gaussian, d_real in (
+        (16, 8, True, True, None),
+        (16, 8, True, False, None),
+        (16, 12, False, True, 64),
+        (8, 8, True, True, 64),
+    ):
+        noc = xdim * ydim
+        k1, k2, k3 = jax.random.split(jax.random.PRNGKey(noc + xdim), 3)
+        codes = jax.random.normal(k1, (noc, 128), dtype=jnp.float32)
+        xb = jax.random.normal(k2, (64, 128), dtype=jnp.float32)
+        xn = jax.random.normal(k3, (64, 128), dtype=jnp.float32)
+        if d_real is not None:
+            codes = codes.at[:, d_real:].set(0.0)
+            xb = xb.at[:, d_real:].set(0.0)
+            xn = xn.at[:, d_real:].set(0.0)
+        _, bmu = dist_argmin(xb, codes, tile_b=64, tile_n=128)
+        tn = 2 * xdim
+        c0, i0, v0 = som_fused_train_step(
+            codes, xb, bmu, xn, xdim, hexa, 0.05, 3.0,
+            gaussian=gaussian, tile_n=tn, factored=False)
+        c1, i1, v1 = som_fused_train_step(
+            codes, xb, bmu, xn, xdim, hexa, 0.05, 3.0,
+            gaussian=gaussian, tile_n=tn, factored=True, d_real=d_real)
+        np.testing.assert_allclose(np.asarray(c1), np.asarray(c0),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i0))
+        np.testing.assert_allclose(np.asarray(v1), np.asarray(v0),
+                                   rtol=1e-4, atol=1e-4)
+
+
 def test_fused_trainer_quality_matches_unfused(ex_dat):
     """SOMTrainer's fused pipeline (use_pallas=True -> interpret mode on
     CPU) must learn to the same qerror level as the two-kernel path."""
