@@ -300,16 +300,42 @@ def cmd_vfind(scanner: ArgScanner, progname: str) -> int:
     scanner.get_int("-buffer", 0, OPTION)
     alpha_type = get_alpha_type(scanner)
     qmode = scanner.get_int("-qetype", 0, OPTION)
+    # -fast (extension): run all N independent random-seed trials AT
+    # ONCE on device (vmapped minibatch training, models.som.vfind_trials)
+    # instead of the reference's sequential per-sample loop.  Same seeds
+    # and best-map selection; fast-path (not bit-parity) numerics.
+    fast = scanner.get("-fast", OPTION2) is not None
 
     data = load_data(in_data_file, "data")
     testdata = load_data(in_test_file, "data")
     if xdim * ydim <= 0 or xdim < 0:
         err("Dimensions of map (%d %d) are incorrect" % (xdim, ydim))
 
+    nod = testdata.n
+    if fast:
+        best_codes, best_trial, best_q, qerrs = som.vfind_trials(
+            data, testdata, ntrials, topol, neigh, xdim, ydim,
+            [(length1, alpha1, radius1), (length2, alpha2, radius2)],
+            alpha_type=alpha_type, qmode=qmode,
+        )
+        if ifverbose(1):
+            for trial in range(ntrials, 0, -1):
+                sys.stderr.write(
+                    "%3d: %f\n" % (trial, np.float32(qerrs[trial]) / np.float32(nod)))
+        if ifverbose(2):
+            sys.stdout.write(
+                "Codebook entries are saved to file %s\n" % out_code_file)
+        write_data(best_codes, out_code_file)
+        if ifverbose(1):
+            sys.stdout.write(
+                "Smallest error with random seed %3d: %f\n"
+                % (best_trial, np.float32(best_q) / np.float32(nod))
+            )
+        return 0
+
     best_codes = None
     best_q = np.inf
     best_trial = 0
-    nod = testdata.n
     trial = ntrials
     while trial:
         rng = CRandom()

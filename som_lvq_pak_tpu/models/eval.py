@@ -108,7 +108,9 @@ def knn_accuracy(
     table = labels if labels is not None else GLOBAL_LABELS
     if knn < 1:
         knn = 1
-    idx, _ = exact.pairwise_topk(data.points, codes.points, knn, data.mask)
+    from ..ops.distance import auto_pairwise_topk
+
+    idx, _ = auto_pairwise_topk(data.points, codes.points, knn, data.mask)
     clabels = codes.first_labels()
     neigh = clabels[idx]
     num = int(max(clabels.max(initial=0), data.first_labels().max(initial=0))) + 1

@@ -56,7 +56,11 @@ def knn_correct_mask(data: Dataset, knn: int, mode: str = "parity") -> np.ndarra
         )
         idx = np.asarray(idx)
     else:
-        idx, _ = exact.pairwise_topk(data.points, data.points, knn, data.mask)
+        # scale-aware: exact host path below the auto threshold (all
+        # goldens), device-chunked above it (identical tie order)
+        from ..ops.distance import auto_pairwise_topk
+
+        idx, _ = auto_pairwise_topk(data.points, data.points, knn, data.mask)
     labels = data.first_labels()
     neigh_labels = labels[idx]  # (N, knn)
     num = int(labels.max()) + 1

@@ -445,3 +445,96 @@ def find_qerror2(codes: Dataset, data: Dataset, radius: float) -> float:
                 qs = F32(qs + contrib[j])
         q = F32(q + qs)
     return float(q)
+
+
+# ---------------------------------------------------------------------------
+# Device-parallel multi-trial search (vfind)
+# ---------------------------------------------------------------------------
+
+def vfind_trials(
+    data: Dataset,
+    testdata: Dataset,
+    ntrials: int,
+    topol: Topology,
+    neigh: Neighborhood,
+    xdim: int,
+    ydim: int,
+    phases,
+    alpha_type: str = ALPHA_LINEAR,
+    qmode: int = 0,
+    batch_size: int = 128,
+):
+    """Best-of-N-trials SOM search, all trials trained AT ONCE on device
+    (the fast path of vfind, vfind.c:247-306).
+
+    The reference runs its N random-seed trials strictly sequentially;
+    they are independent, so this stacks the N randinit'd codebooks into
+    one (T, noc, dim) tensor and advances every trial simultaneously
+    with vmapped minibatch steps — the same quality path as SOMTrainer
+    (fast-mode tolerances, not bit parity).  Preserved from the
+    reference: per-trial LCG seeds (init_random(trial), counting the
+    trial number DOWN from ntrials), the per-phase linear alpha/radius
+    schedules, and the strict-< best-map selection in countdown order
+    (the higher trial number wins an exact qerror tie).
+
+    `phases` is a sequence of (length, alpha, radius) training phases.
+    Returns (best_codes, best_trial, best_qerror, {trial: qerror}).
+    """
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from .fast import som_batch_step, unit_coords
+
+    gaussian = neigh == Neighborhood.GAUSSIAN
+    hexa = topol == Topology.HEXA
+    trials = list(range(ntrials, 0, -1))
+    stacks = []
+    for trial in trials:
+        rng = CRandom()
+        rng.init_random(trial)
+        stacks.append(randinit(data, topol, neigh, xdim, ydim, rng).points)
+    Ms = jnp.asarray(np.stack(stacks))                     # (T, noc, dim)
+    X = jnp.asarray(data.points)
+    n = data.n
+    cj = jnp.asarray(unit_coords(xdim, ydim, hexa))
+
+    step = jax.jit(jax.vmap(
+        functools.partial(
+            som_batch_step, gaussian=gaussian, update="sum",
+            use_pallas=False, xdim=xdim, hexa=hexa,
+        ),
+        in_axes=(0, None, None, None, None),
+    ))
+
+    pos = 0  # sequential sample cursor across phases (reference file order)
+    for length, alpha, radius in phases:
+        if length <= 0:
+            continue
+        bs = max(1, min(batch_size, n))
+        nb = max(1, length // bs)
+        talp = alpha_schedule(length, alpha, alpha_type)[::bs][:nb]
+        trad = radius_schedule(length, radius)[::bs][:nb]
+        for b in range(nb):
+            idx = np.arange(pos, pos + bs) % n
+            pos += bs
+            xb = X[jnp.asarray(idx)]
+            Ms = step(Ms, xb, cj, jnp.float32(talp[b]), jnp.float32(trad[b]))
+
+    Ms_np = np.asarray(Ms)
+    result = []
+    for i, trial in enumerate(trials):
+        cd = Dataset(points=Ms_np[i], topol=topol, neigh=neigh,
+                     xdim=xdim, ydim=ydim)
+        if qmode > 0:
+            q = find_qerror2(cd, testdata, radius=1.0)
+        else:
+            q = find_qerror(cd, testdata, mode="fast")
+        result.append((trial, q, cd))
+
+    best_trial, best_q, best_codes = result[0]
+    for trial, q, cd in result[1:]:
+        if q < best_q:
+            best_trial, best_q, best_codes = trial, q, cd
+    return best_codes, best_trial, best_q, {t: q for t, q, _ in result}

@@ -29,7 +29,9 @@ def setlabel(codes: Dataset, data: Dataset, knn: int = 5) -> Dataset:
     with find_winner_knn tie semantics)."""
     if knn < 1:
         knn = 1
-    idx, _ = exact.pairwise_topk(codes.points, data.points, knn, codes.mask)
+    from ..ops.distance import auto_pairwise_topk
+
+    idx, _ = auto_pairwise_topk(codes.points, data.points, knn, codes.mask)
     dlabels = data.first_labels()
     new_labels = np.zeros(codes.n, dtype=np.int32)
     for i in range(codes.n):
@@ -44,7 +46,9 @@ def elimin(data: Dataset, knn: int = 5) -> Dataset:
     its label (eliminate_codes, elimin.c:51-130; knn capped at 10)."""
     if knn > 10:
         knn = 10
-    idx, _ = exact.pairwise_topk(data.points, data.points, knn, data.mask)
+    from ..ops.distance import auto_pairwise_topk
+
+    idx, _ = auto_pairwise_topk(data.points, data.points, knn, data.mask)
     labels = data.first_labels()
     neigh = labels[idx]  # (N, knn)
     correct = (neigh == labels[:, None]).sum(axis=1)

@@ -320,11 +320,14 @@ class SOMTrainer:
         # step: update(batch t) + winner-search(batch t+1) in one pass
         # over the codebook (ops.pallas_som.som_fused_train_step) — one
         # codebook read + write per step instead of three reads + write.
-        # Masked data falls back to the two-kernel step (the fused kernel
-        # carries no per-component mask).
+        # A Dataset with masks falls back to the two-kernel step wholesale
+        # (every batch would be masked); STREAMS ride the fused path — the
+        # large-N streamed SOM is the north-star workload — with any
+        # masked chunk's batches handled by a per-batch two-kernel
+        # fallback inside the fused loop.
         use_fused = (
             self.mesh is None and self.use_pallas
-            and isinstance(data, Dataset) and data.mask is None
+            and (not isinstance(data, Dataset) or data.mask is None)
         )
         D = self.meta.dim
 
@@ -389,6 +392,10 @@ class SOMTrainer:
                  if self.meta.n % rc == 0 and rc <= self.meta.n), None)
             use_vmem = (
                 self.vmem_steps is not False
+                # streams may carry masks/fixed= per chunk, which the
+                # grouped VMEM kernel cannot honor — Dataset input only
+                # (its masks are known upfront: none on this branch)
+                and isinstance(data, Dataset)
                 and self.meta.n * Dp * 4 <= (4 << 20)
                 and row_chunk is not None
                 # user-set batch sizes must leave the (row_chunk, B)
@@ -459,6 +466,28 @@ class SOMTrainer:
                 nxt = next(it, None)
                 xb_p = pad(xb)
                 xn_p = pad(nxt[1]) if nxt is not None else xb_p
+                if mk_b is not None and mk_b.any():
+                    # masked stream chunk: the fused kernel carries no
+                    # per-component mask — run this batch through the
+                    # two-kernel masked step and re-seed the BMU pipeline
+                    # for the next batch against the updated codebook
+                    M1 = self._one_step(
+                        Mp[:, :D].astype(jnp.float32), xb,
+                        talp[b], trad[b],
+                        mask=mk_b, weights=wt_b, fixed_bmu=ff_b)
+                    Mp = jnp.zeros((self.meta.n, Dp), jnp.float32).at[
+                        :, :D].set(M1)
+                    if self.bf16:
+                        Mp = Mp.astype(jnp.bfloat16)
+                    if nxt is not None:
+                        _, bmu = dist_argmin(xn_p, Mp)
+                        if nxt[4] is not None:
+                            bmu = jnp.where(nxt[4] >= 0, nxt[4], bmu)
+                    if progress is not None:
+                        progress.step(self.batch_size)
+                    maybe_ckpt(b, Mp)
+                    prev = nxt
+                    continue
                 Mp, bmu_next, _ = som_fused_train_step(
                     Mp, xb_p, bmu, xn_p, self.meta.xdim, hexa,
                     eff_alpha(b, wt_b, mk_b), jnp.float32(trad[b]),

@@ -169,3 +169,36 @@ def chunked_topk(
         lambda a: one((a[0], a[1] if mask is not None else None)), (xcs, mcs)
     )
     return idx.reshape(Bp, k)[:B], val.reshape(Bp, k)[:B]
+
+
+def auto_pairwise_topk(X, codes, knn, xmask=None):
+    """Scale-aware kNN front end for the host tools (eveninit/setlabel/
+    elimin/knntest): the NumPy exact path (ops.exact.pairwise_topk, C
+    accumulation order) below SOMVQ_AUTO_TOPK_PAIRS query*reference
+    pairs — every byte-anchored golden runs there — and the
+    device-chunked dist-matmul path above it.  The device path keeps the
+    reference (distance asc, index desc) tie order and precision=
+    "highest" exact-f32 matmuls (test_chunked_topk_matches_exact asserts
+    index equality on real data); at scales with no goldens it makes the
+    reference's O(N^2 dim) scalar workloads (eveninit.c:46-158,
+    lvq_rout.c:38-80) feasible: a 1M-vector self-kNN is 1e12 pairs.
+
+    Inputs/outputs are NumPy ((N, knn) indices + squared distances)."""
+    import os
+
+    import numpy as np
+
+    threshold = int(os.environ.get("SOMVQ_AUTO_TOPK_PAIRS", 1 << 25))
+    n_pairs = X.shape[0] * codes.shape[0]
+    if n_pairs <= threshold:
+        from . import exact
+
+        return exact.pairwise_topk(np.asarray(X), np.asarray(codes), knn,
+                                   None if xmask is None else np.asarray(xmask))
+    # keep the per-tile (chunk, N) distance block around 1 GB
+    chunk = max(64, min(4096, (1 << 28) // max(1, codes.shape[0])))
+    idx, val = chunked_topk(
+        jnp.asarray(X), jnp.asarray(codes), knn,
+        None if xmask is None else jnp.asarray(xmask), chunk=chunk,
+    )
+    return np.asarray(idx), np.asarray(val)

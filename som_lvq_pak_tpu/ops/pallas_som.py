@@ -407,7 +407,9 @@ def fused_step_vmem_bytes(tile_n: int, B: int, D: int,
     sizes (Mosaic compilation fails outright when exceeded)."""
     common = 2 * B * D * 4 + 3 * tile_n * D * 4
     if factored:
-        blocks = 4 * tile_n * B * 4 + _round_up(max(ydim, 8), 8) * B * 4
+        # wxa scratch + w/wy_exp/mx working blocks (y factor is in-tile,
+        # rows_per_tile x B — negligible)
+        blocks = 4 * tile_n * B * 4
     else:
         blocks = 3 * tile_n * B * 4
     return common + blocks
@@ -458,8 +460,6 @@ def _som_fused_factored_kernel(
     idx_ref,      # (1, B')   next batch: running argmax
     wxa_ref,      # (TN, B)   scratch: x-axis factor, built once at i == 0
     #             (gaussian: aw * exp(-dx^2/2r^2); bubble: dx^2)
-    wy_ref,       # (Yp, B)   scratch: y-axis factor per grid row
-    #             (gaussian: exp(-dy^2/2r^2); bubble: dy^2)
     *,
     gaussian: bool,
     tile_n: int,
@@ -471,10 +471,15 @@ def _som_fused_factored_kernel(
     """Separable-neighborhood fused step: the grid metric decomposes as
     d^2 = dx^2 + dy^2 with dx a function of (unit column, row parity)
     only and dy of the unit row only, so exp(-d^2/2r^2) factors into an
-    x-pattern shared by every tile (period 2*xdim rows, tiled to TN once
-    into scratch) times a per-grid-row y-factor — the per-tile (TN, B)
-    weight block costs ONE VPU multiply instead of ~12 VPU passes + a
-    (TN, B) exp.  exp count per step drops from noc*B to
+    x-pattern shared by every tile (period 2*xdim rows, built once into
+    scratch at i == 0) times a per-grid-row y-factor computed IN-TILE
+    on the tile's own rows_per_tile rows — each grid row's y-exp runs
+    exactly once per step either way (tiles cover disjoint rows), and
+    an in-tile compute avoids the sublane-misaligned scratch load that
+    Mosaic rejects when rows_per_tile % 8 != 0 ("cannot statically
+    prove that index in dimension 0 is a multiple of 8").  The per-tile
+    (TN, B) weight block costs ONE VPU multiply instead of ~12 VPU
+    passes + a (TN, B) exp; exp count per step drops from noc*B to
     (tile_n + ydim)*B.  Matmuls and the update algebra are identical to
     _som_fused_step_kernel.
 
@@ -491,10 +496,8 @@ def _som_fused_factored_kernel(
         rowb = bmu // xdim
         if hexa:
             bx = colb + 0.5 * (rowb % 2).astype(jnp.float32)
-            by = rowb.astype(jnp.float32) * _SQRT075
         else:
             bx = colb
-            by = rowb.astype(jnp.float32)
         r = r_ref[0, 0]
         s = 1.0 / (2.0 * r * r)
         # x pattern over TN local rows: col = l % xdim, parity = (l//xdim)%2
@@ -511,26 +514,39 @@ def _som_fused_factored_kernel(
             wxa_ref[:] = aw_ref[:] * jnp.exp(-dx2 * s)
         else:
             wxa_ref[:] = dx2
-        # y pattern over grid rows (padded rows beyond ydim are harmless:
-        # no tile ever reads them)
-        ry = jax.lax.broadcasted_iota(
-            jnp.int32, (wy_ref.shape[0], 1), 0).astype(jnp.float32)
-        yq = ry * _SQRT075 if hexa else ry
-        dy = yq - by                                      # (Yp, B)
-        if gaussian:
-            wy_ref[:] = jnp.exp(-(dy * dy) * s)
-        else:
-            wy_ref[:] = dy * dy
 
     B = wxa_ref.shape[1]
-    wy_blk = wy_ref[pl.ds(i * rows_per_tile, rows_per_tile), :]   # (R, B)
-    wy_exp = jnp.broadcast_to(
-        wy_blk.reshape(rows_per_tile, 1, B), (rows_per_tile, xdim, B)
-    ).reshape(tile_n, B)
+    # y factor for THIS tile's grid rows (rows_per_tile of them),
+    # expanded to (TN, B) with a tiny 0/1 MXU matmul — E[t, r] = 1 iff
+    # local row t belongs to grid row r.  A vector broadcast along the
+    # sublane axis ((R,1,B) -> (R,xdim,B)) relayouts sublanes and was
+    # measured SLOWER than the plain kernel; the K=rows_per_tile matmul
+    # is noise next to the update contraction.
+    bmu = bmu_ref[:]
+    rowb = bmu // xdim
+    by = (rowb.astype(jnp.float32) * _SQRT075 if hexa
+          else rowb.astype(jnp.float32))                  # (1, B)
+    r = r_ref[0, 0]
+    ry = (i * rows_per_tile
+          + jax.lax.broadcasted_iota(jnp.int32, (rows_per_tile, 1), 0)
+          ).astype(jnp.float32)
+    yq = ry * _SQRT075 if hexa else ry
+    dy = yq - by                                          # (R, B)
+    if gaussian:
+        wy_blk = jnp.exp(-(dy * dy) * (1.0 / (2.0 * r * r)))
+    else:
+        wy_blk = dy * dy
+    t_row = jax.lax.broadcasted_iota(
+        jnp.int32, (tile_n, rows_per_tile), 0) // xdim
+    r_row = jax.lax.broadcasted_iota(
+        jnp.int32, (tile_n, rows_per_tile), 1)
+    expand = (t_row == r_row).astype(jnp.float32)         # (TN, R)
+    wy_exp = jax.lax.dot_general(
+        expand, wy_blk, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)               # (TN, B)
     if gaussian:
         w = wxa_ref[:] * wy_exp                           # (TN, B)
     else:
-        r = r_ref[0, 0]
         w = jnp.where(wxa_ref[:] + wy_exp <= r * r, aw_ref[:], 0.0)
 
     acc = jax.lax.dot_general(
@@ -672,7 +688,6 @@ def som_fused_train_step(
             ],
             scratch_shapes=[
                 pltpu.VMEM((tile_n, B), jnp.float32),
-                pltpu.VMEM((_round_up(ydim, 8), B), jnp.float32),
             ],
             cost_estimate=pl.CostEstimate(
                 flops=2 * B * noc * D + 2 * Bn * noc * (d_real or D),

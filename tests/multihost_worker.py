@@ -96,6 +96,48 @@ def main() -> int:
     xb_global = multihost_utils.process_allgather(xs, tiled=True)
     xl_global = multihost_utils.process_allgather(xl, tiled=True)
 
+    # --- multi-step streamed train with a MID-RUN CHECKPOINT RESUME:
+    # each step trains on a rotated slice of this process's stream shard
+    # (a fresh global batch per step); halfway through, process 0
+    # persists the codebook (the gathered global view) and every process
+    # restores from that file and finishes — the resumed run must equal
+    # the uninterrupted one bit-for-bit.
+    from som_lvq_pak_tpu.utils.checkpoint import Checkpointer, TrainState
+
+    K = 6
+
+    def global_batch(t):
+        loc = np.roll(local, t * 7, axis=0)
+        return multihost_utils.host_local_array_to_global_array(
+            loc, mesh, P("data", None)
+        )
+
+    def advance(state, t0, t1):
+        for t in range(t0, t1):
+            a = jnp.float32(0.05 * (K - t) / K)
+            r = jnp.float32(1.0 + 2.0 * (K - t) / K)
+            state = som_step(state, global_batch(t), cl, cf, a, r)
+        return state
+
+    full = advance(cs, 0, K)
+    full_g = multihost_utils.process_allgather(full, tiled=True)
+
+    ckdir = os.path.join(outdir, "mh_ck")
+    half = advance(cs, 0, K // 2)
+    half_g = multihost_utils.process_allgather(half, tiled=True)
+    if pid == 0:
+        Checkpointer(ckdir).save(
+            TrainState(codes=np.asarray(half_g), step=K // 2))
+    multihost_utils.sync_global_devices("ckpt written")
+    st = Checkpointer(ckdir).load()
+    assert st is not None and st.step == K // 2, "all-restore failed"
+    restored = jax.device_put(
+        jnp.asarray(st.codes), NamedSharding(mesh, P("model", None)))
+    resumed = advance(restored, K // 2, K)
+    resumed_g = multihost_utils.process_allgather(resumed, tiled=True)
+    np.testing.assert_allclose(
+        np.asarray(resumed_g), np.asarray(full_g), rtol=1e-6, atol=1e-6)
+
     if pid == 0:
         np.savez(
             os.path.join(outdir, "result.npz"),
@@ -106,6 +148,8 @@ def main() -> int:
             xl=np.asarray(xl_global),
             codes=codes,
             clabels=clabels,
+            multi_full=np.asarray(full_g),
+            multi_resumed=np.asarray(resumed_g),
         )
     multihost_utils.sync_global_devices("done")
     return 0

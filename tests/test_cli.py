@@ -294,3 +294,41 @@ def test_help_usage_blocks(capsys):
             assert usage_text(tool) is None
             continue
         assert usage_text(tool), f"missing usage text for {tool}"
+
+
+def test_vfind_fast_flag_matches_selection(ref_dir, tmp_path):
+    """-fast (extension) trains all trials at once on device; the
+    per-trial qerrors must land near the sequential parity trials' and
+    the output map must be a valid codebook of the requested shape."""
+    os.chdir(tmp_path)
+    answers = "\n".join([
+        "3",                      # trials
+        f"{ref_dir}/ex.dat",      # data
+        f"{ref_dir}/ex.dat",      # test
+        "best_fast.cod",          # out
+        "hexa", "gaussian",
+        "4", "3",
+        "200", "0.05", "4",
+        "300", "0.02", "2",
+    ]) + "\n"
+    rc, out = run("vfind", "-fast", stdin=answers)
+    assert rc == 0
+    assert os.path.exists("best_fast.cod")
+    assert "Smallest error with random seed" in out
+
+    from som_lvq_pak_tpu.data.io import read_data
+    from som_lvq_pak_tpu.models import som as msom
+
+    best = read_data("best_fast.cod")
+    assert best.points.shape == (12, 5)
+    assert best.xdim == 4 and best.ydim == 3
+
+    # the fast winner must quantize the data about as well as the
+    # sequential parity pipeline's winner at the same settings
+    data = read_data(f"{ref_dir}/ex.dat")
+    q_fast = msom.find_qerror(best, data, mode="fast") / data.n
+    rc, out2 = run("vfind", stdin=answers.replace("best_fast", "best_par"))
+    assert rc == 0
+    best_par = read_data("best_par.cod")
+    q_par = msom.find_qerror(best_par, data, mode="fast") / data.n
+    assert q_fast < 1.3 * q_par, (q_fast, q_par)

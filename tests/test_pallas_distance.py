@@ -207,3 +207,25 @@ def test_dist_topk_matches_oracle():
     m = jnp.concatenate([m, m], 0)
     _, i = dist_topk(x, m, 4, tile_b=8, tile_n=128)
     np.testing.assert_array_equal(np.asarray(i)[0], [1, 3, 5, 7])
+
+
+def test_auto_pairwise_topk_routes_by_scale(ref_dir, monkeypatch):
+    """Below the pair threshold the host exact path answers (goldens
+    byte-identical by construction); above it the device-chunked path
+    answers with the same indices."""
+    import jax.numpy as jnp
+
+    from som_lvq_pak_tpu.data.io import read_data
+    from som_lvq_pak_tpu.ops import exact
+    from som_lvq_pak_tpu.ops.distance import auto_pairwise_topk
+
+    data = read_data(os.path.join(ref_dir, "ex1.dat"))
+    X = data.points[:600]
+    ref_idx, _ = exact.pairwise_topk(X, X, 5)
+
+    idx_small, _ = auto_pairwise_topk(X, X, 5)           # host path
+    np.testing.assert_array_equal(idx_small, ref_idx)
+
+    monkeypatch.setenv("SOMVQ_AUTO_TOPK_PAIRS", "1000")  # force device
+    idx_dev, _ = auto_pairwise_topk(X, X, 5)
+    np.testing.assert_array_equal(idx_dev, ref_idx)

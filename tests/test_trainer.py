@@ -255,3 +255,58 @@ def test_olvq1_streaming_resume_fast_forwards(ref_dir, tmp_path):
                       rlen=64 * 12)
     np.testing.assert_allclose(resumed.points, full.points,
                                rtol=1e-6, atol=1e-6)
+
+
+def test_som_trainer_streaming_rides_fused_path(ex_dat, ref_dir):
+    """Streams (no masks) now ride the fused Pallas step — the large-N
+    streamed SOM is the north-star workload.  On CPU the kernel runs in
+    interpret mode; the result must match the two-kernel (use_pallas=
+    False) path on the same stream order to float tolerance (identical
+    step semantics: winner of batch t against codes after step t-1)."""
+    from som_lvq_pak_tpu.data.dataset import Dataset
+
+    init = som.randinit(ex_dat, Topology.HEXA, Neighborhood.GAUSSIAN, 8, 8,
+                        CRandom(7))
+    X = ex_dat.points[:1024]
+
+    def stream():
+        for lo in range(0, 1024, 256):
+            yield Dataset(points=X[lo:lo + 256])
+
+    tr_f = SOMTrainer(init, batch_size=128, use_pallas=True, vmem_steps=False)
+    out_f = tr_f.fit(stream(), rlen=1024, alpha=0.05, radius=4.0)
+    tr_u = SOMTrainer(init, batch_size=128, use_pallas=False)
+    out_u = tr_u.fit(stream(), rlen=1024, alpha=0.05, radius=4.0)
+    # fp evaluation order differs between the kernels (argmin flips on
+    # near-ties compound over batches); agreement is to ~1e-2
+    np.testing.assert_allclose(out_f.points, out_u.points, rtol=2e-2,
+                               atol=2e-2)
+    q_f = _qerror_per_sample(out_f, ex_dat)
+    q_u = _qerror_per_sample(out_u, ex_dat)
+    assert abs(q_f - q_u) < 0.02 * q_u
+
+
+def test_som_trainer_streaming_masked_chunk_fallback(ex_dat):
+    """A masked chunk inside an otherwise clean stream is handled by the
+    per-batch two-kernel fallback (the fused kernel carries no
+    per-component mask) and must match the all-unfused run."""
+    from som_lvq_pak_tpu.data.dataset import Dataset
+
+    init = som.randinit(ex_dat, Topology.HEXA, Neighborhood.GAUSSIAN, 6, 6,
+                        CRandom(9))
+    X = ex_dat.points[:512]
+    mask = np.zeros((128, ex_dat.dim), np.uint8)
+    mask[:, 2] = 1  # component 2 masked for the whole second chunk
+
+    def stream():
+        yield Dataset(points=X[:128])
+        yield Dataset(points=X[128:256], mask=mask)
+        yield Dataset(points=X[256:384])
+        yield Dataset(points=X[384:512])
+
+    tr_f = SOMTrainer(init, batch_size=128, use_pallas=True, vmem_steps=False)
+    out_f = tr_f.fit(stream(), rlen=512, alpha=0.05, radius=3.0)
+    tr_u = SOMTrainer(init, batch_size=128, use_pallas=False)
+    out_u = tr_u.fit(stream(), rlen=512, alpha=0.05, radius=3.0)
+    np.testing.assert_allclose(out_f.points, out_u.points, rtol=2e-2,
+                               atol=2e-2)
