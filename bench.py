@@ -179,7 +179,7 @@ def prep_unfused(codes0, xb):
     @jax.jit
     def step(c, x):
         m2 = jnp.sum(c * c, axis=-1)
-        _, bmu = dist_argmin(x, c, m2, tile_b=1024, tile_n=4096)
+        _, bmu = dist_argmin(x, c, m2, tile_b=512, tile_n=1024)
         return som_neighborhood_update_idx(
             c, x, bmu, XDIM, True, ALPHA, RADIUS, gaussian=True,
         )
@@ -198,20 +198,31 @@ def prep_unfused(codes0, xb):
 
 
 def prep_dist(codes0, xb):
+    """Bare dist+argmin, best of two tilings.  r02 forced (1024, 4096)
+    whose (1024, 4096) f32 distance block sits AT the ~16 MB scoped-VMEM
+    limit and measured slower than the full fused step; the kernel
+    default (256, 512) and a mid tiling are both tried."""
     m2 = jnp.sum(codes0 * codes0, axis=-1)
-    f = jax.jit(lambda x, c: dist_argmin(x, c, m2, tile_b=1024, tile_n=4096)[0])
+    fns = [
+        jax.jit(lambda x, c: dist_argmin(x, c, m2, tile_b=256, tile_n=512)[0]),
+        jax.jit(lambda x, c: dist_argmin(x, c, m2, tile_b=512, tile_n=1024)[0]),
+    ]
 
-    def chain(iters):
-        v = f(xb, codes0)
-        _ = float(np.asarray(v[0]))
-        t0 = time.perf_counter()
-        for _i in range(iters):
-            v = f(v[:, None] * 0 + xb, codes0)  # dependency via v
-        _ = float(np.asarray(v[0]))
-        return time.perf_counter() - t0
+    def make_chain(f):
+        def chain(iters):
+            v = f(xb, codes0)
+            _ = float(np.asarray(v[0]))
+            t0 = time.perf_counter()
+            for _i in range(iters):
+                v = f(v[:, None] * 0 + xb, codes0)  # dependency via v
+            _ = float(np.asarray(v[0]))
+            return time.perf_counter() - t0
+        return chain
 
-    chain(1)
-    return lambda: slope_time(chain)
+    chains = [make_chain(f) for f in fns]
+    for c in chains:
+        c(1)
+    return lambda: min(slope_time(c) for c in chains)
 
 
 def prep_olvq1(codes0, xb):
@@ -335,6 +346,52 @@ def prep_somexample_shape():
     return measure
 
 
+def prep_vfind():
+    """Device-parallel vfind: 8 random-seed trials trained AT ONCE
+    (models.som.vfind_trials, vmapped minibatch steps) vs the same 8
+    trials run one at a time through the identical fast path — the
+    speedup of batching the package's only natural fleet workload."""
+    from som_lvq_pak_tpu.data.dataset import Dataset, Neighborhood, Topology
+    from som_lvq_pak_tpu.models.som import vfind_trials
+
+    rng = np.random.default_rng(9)
+    X = rng.normal(0, 1, size=(2048, 16)).astype(np.float32)
+    data = Dataset(points=X)
+    phases = [(2048, 0.05, 4.0), (2048, 0.02, 2.0)]
+
+    def batched():
+        return vfind_trials(data, data, 8, Topology.HEXA,
+                            Neighborhood.GAUSSIAN, 16, 16, phases)
+
+    def sequential():
+        best = None
+        for t in range(8, 0, -1):
+            # 8 one-trial calls: same per-trial work (randinit + both
+            # training phases + qerror), one trial on device at a time
+            _, _, q, qs = vfind_trials(
+                data, data, 1, Topology.HEXA, Neighborhood.GAUSSIAN,
+                16, 16, phases)
+            best = q if best is None else min(best, q)
+        return best
+
+    batched()      # compile both shapes (T=8 and T=1 vmapped steps)
+    sequential()
+
+    def measure():
+        t0 = time.perf_counter()
+        _, _, q8, _ = batched()
+        t_b = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        sequential()
+        t_s = time.perf_counter() - t0
+        return {"batched_8trials_s": round(t_b, 2),
+                "sequential_8x1_s": round(t_s, 2),
+                "speedup": round(t_s / t_b, 1),
+                "best_qerror_per_sample": round(q8 / 2048, 4)}
+
+    return measure
+
+
 def run_e2e_config4():
     """BASELINE.json config 4, end to end on the real chip: 128x128
     gaussian hexa map on synthetic 100k x 64-dim data, one full lap of
@@ -402,7 +459,7 @@ def main():
     xn = jnp.zeros((B, DP), jnp.float32).at[:, :D].set(
         jax.random.normal(k3, (B, D), dtype=jnp.float32) * 3)
     codes_bf16 = codes.astype(jnp.bfloat16)
-    _, bmu0 = dist_argmin(xb, codes, tile_b=1024, tile_n=4096)
+    _, bmu0 = dist_argmin(xb, codes)
 
     extra = {}
     t_all = time.perf_counter()
@@ -435,6 +492,7 @@ def main():
         ("sharded_1chip_mesh", lambda: prep_sharded(codes, xb)),
         ("vmem_resident", prep_vmem_steps),
         ("somexample_shape", prep_somexample_shape),
+        ("vfind_parallel_trials", prep_vfind),
     ]
     ESSENTIAL = 5  # the first five are always compiled, budget or not
     measures = {}
@@ -539,6 +597,9 @@ def main():
         extra["somexample_shape_evals_per_s"] = round(se)
         extra["somexample_shape_vs_reference"] = round(
             se / BASELINE_EVALS_PER_S, 1)
+    r = measure("vfind_parallel_trials")
+    if r:
+        extra["vfind_parallel_trials"] = r
 
     # ---- end-to-end BASELINE config 4 (the one expensive extra; its
     # compiles are its own, so it runs only with real budget left)
