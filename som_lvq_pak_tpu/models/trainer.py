@@ -392,10 +392,6 @@ class SOMTrainer:
                  if self.meta.n % rc == 0 and rc <= self.meta.n), None)
             use_vmem = (
                 self.vmem_steps is not False
-                # streams may carry masks/fixed= per chunk, which the
-                # grouped VMEM kernel cannot honor — Dataset input only
-                # (its masks are known upfront: none on this branch)
-                and isinstance(data, Dataset)
                 and self.meta.n * Dp * 4 <= (4 << 20)
                 and row_chunk is not None
                 # user-set batch sizes must leave the (row_chunk, B)
@@ -409,6 +405,20 @@ class SOMTrainer:
             if use_vmem:
                 from ..ops.pallas_som import som_vmem_train_steps
 
+                def group_dirty(group):
+                    # streams may carry per-component masks or fixed=
+                    # tokens per chunk, which the grouped kernel cannot
+                    # honor; a group containing any runs the two-kernel
+                    # step batch by batch instead (Dataset input never
+                    # reaches here with either: mask=None on this
+                    # branch, fixed gated by use_vmem above)
+                    for g in group:
+                        if g[2] is not None and bool(jnp.any(g[2] != 0)):
+                            return True
+                        if g[4] is not None and bool(jnp.any(g[4] >= 0)):
+                            return True
+                    return False
+
                 GK = 32
                 it = batches()
                 group = []
@@ -418,6 +428,20 @@ class SOMTrainer:
                     group.append(nxt)
                     nxt = next(it, None)
                     if len(group) == GK or nxt is None:
+                        if group_dirty(group):
+                            M1 = Mp[:, :D].astype(jnp.float32)
+                            for b, xb, mk_b, wt_b, ff_b in group:
+                                M1 = self._one_step(
+                                    M1, xb, talp[b], trad[b], mask=mk_b,
+                                    weights=wt_b, fixed_bmu=ff_b)
+                                if progress is not None:
+                                    progress.step(self.batch_size)
+                            Mp = jnp.zeros((self.meta.n, Dp),
+                                           jnp.float32).at[:, :D].set(M1)
+                            maybe_ckpt(group[-1][0], Mp)
+                            bmu = None  # next clean group re-seeds
+                            group = []
+                            continue
                         if bmu is None:
                             _, bmu = dist_argmin(pad(group[0][1]), Mp)
                         xs = jnp.stack([pad(g[1]) for g in group])

@@ -310,3 +310,48 @@ def test_som_trainer_streaming_masked_chunk_fallback(ex_dat):
     out_u = tr_u.fit(stream(), rlen=512, alpha=0.05, radius=3.0)
     np.testing.assert_allclose(out_f.points, out_u.points, rtol=2e-2,
                                atol=2e-2)
+
+
+def test_som_trainer_streaming_vmem_group_path(ex_dat):
+    """Small-map streams ride the VMEM multi-step group kernel (the 16x
+    path); result must match the two-kernel path on the same stream."""
+    from som_lvq_pak_tpu.data.dataset import Dataset
+
+    init = som.randinit(ex_dat, Topology.HEXA, Neighborhood.GAUSSIAN, 8, 8,
+                        CRandom(5))
+    X = ex_dat.points[:1024]
+
+    def stream():
+        for lo in range(0, 1024, 256):
+            yield Dataset(points=X[lo:lo + 256])
+
+    tr_v = SOMTrainer(init, batch_size=128, use_pallas=True)  # vmem auto
+    out_v = tr_v.fit(stream(), rlen=1024, alpha=0.05, radius=4.0)
+    tr_u = SOMTrainer(init, batch_size=128, use_pallas=False)
+    out_u = tr_u.fit(stream(), rlen=1024, alpha=0.05, radius=4.0)
+    np.testing.assert_allclose(out_v.points, out_u.points, rtol=2e-2,
+                               atol=2e-2)
+
+
+def test_som_trainer_streaming_vmem_masked_group_fallback(ex_dat):
+    """A masked chunk makes its VMEM group fall back to per-batch
+    two-kernel steps; the run must still match the all-unfused path."""
+    from som_lvq_pak_tpu.data.dataset import Dataset
+
+    init = som.randinit(ex_dat, Topology.HEXA, Neighborhood.GAUSSIAN, 8, 8,
+                        CRandom(6))
+    X = ex_dat.points[:512]
+    mask = np.zeros((128, ex_dat.dim), np.uint8)
+    mask[:, 1] = 1
+
+    def stream():
+        yield Dataset(points=X[:128])
+        yield Dataset(points=X[128:256], mask=mask)
+        yield Dataset(points=X[256:512])
+
+    tr_v = SOMTrainer(init, batch_size=128, use_pallas=True)
+    out_v = tr_v.fit(stream(), rlen=512, alpha=0.05, radius=3.0)
+    tr_u = SOMTrainer(init, batch_size=128, use_pallas=False)
+    out_u = tr_u.fit(stream(), rlen=512, alpha=0.05, radius=3.0)
+    np.testing.assert_allclose(out_v.points, out_u.points, rtol=2e-2,
+                               atol=2e-2)
