@@ -229,3 +229,22 @@ def test_auto_pairwise_topk_routes_by_scale(ref_dir, monkeypatch):
     monkeypatch.setenv("SOMVQ_AUTO_TOPK_PAIRS", "1000")  # force device
     idx_dev, _ = auto_pairwise_topk(X, X, 5)
     np.testing.assert_array_equal(idx_dev, ref_idx)
+
+
+def test_auto_pairwise_topk_masked_device_path(ref_dir, monkeypatch):
+    """Masked queries route through the device path with the same
+    indices as the exact host path (mask excludes components from the
+    distance, lvq_pak.c:63-72)."""
+    from som_lvq_pak_tpu.data.io import read_data
+    from som_lvq_pak_tpu.ops import exact
+    from som_lvq_pak_tpu.ops.distance import auto_pairwise_topk
+
+    data = read_data(os.path.join(ref_dir, "ex1.dat"))
+    X = data.points[:400]
+    mask = np.zeros(X.shape, np.uint8)
+    mask[::7, 3] = 1
+    mask[::11, 0] = 1
+    ref_idx, _ = exact.pairwise_topk(X, X, 5, mask)
+    monkeypatch.setenv("SOMVQ_AUTO_TOPK_PAIRS", "1000")
+    idx, _ = auto_pairwise_topk(X, X, 5, mask)
+    np.testing.assert_array_equal(idx, ref_idx)
