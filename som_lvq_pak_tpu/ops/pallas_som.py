@@ -399,17 +399,20 @@ def _fused_argmin_epilogue(d_t, j, tile_n, val_ref, idx_ref):
 
 
 def fused_step_vmem_bytes(tile_n: int, B: int, D: int,
-                          factored: bool = False, ydim: int = 0) -> int:
+                          factored: bool = False, ydim: int = 0,
+                          dual: bool = False) -> int:
     """Approximate VMEM working set of one fused-step grid cell: batch
     blocks + codebook tiles + the (tile_n, B) weight/distance blocks
-    (wxa/wy axis-factor scratch on the factored path).  Used to derive a
-    tile_n that respects the ~16 MB scoped-VMEM limit for user-set batch
-    sizes (Mosaic compilation fails outright when exceeded)."""
+    (wxa axis-factor scratch on the factored path; `dual` = the
+    one-grid-row-per-tile hexa case whose scratch stacks both parity
+    patterns).  Used to derive a tile_n that respects the ~16 MB
+    scoped-VMEM limit for user-set batch sizes (Mosaic compilation
+    fails outright when exceeded)."""
     common = 2 * B * D * 4 + 3 * tile_n * D * 4
     if factored:
         # wxa scratch + w/wy_exp/mx working blocks (y factor is in-tile,
         # rows_per_tile x B — negligible)
-        blocks = 4 * tile_n * B * 4
+        blocks = (5 if dual else 4) * tile_n * B * 4
     else:
         blocks = 3 * tile_n * B * 4
     return common + blocks
@@ -428,7 +431,8 @@ def pick_fused_tile_n(noc: int, B: int, D: int, xdim: int = 0,
             continue
         if factored and (xdim <= 0 or tn % xdim != 0):
             continue
-        if fused_step_vmem_bytes(tn, B, D, factored, ydim) <= budget:
+        if fused_step_vmem_bytes(tn, B, D, factored, ydim,
+                                 dual=(tn == xdim)) <= budget:
             return tn
     return 8
 
@@ -437,12 +441,14 @@ def _factored_geometry_ok(noc: int, xdim: int, tile_n: int, hexa: bool) -> bool:
     """True when the separable-neighborhood kernel applies: tiles cover
     whole grid rows (tile_n % xdim == 0), the codebook has no padded
     rows (noc % tile_n == 0), the sublane merge is layout-free
-    (xdim % 8 == 0), and for hexa maps every tile starts on an even grid
-    row so the odd-row x-offset pattern is tile-invariant."""
+    (xdim % 8 == 0), and for hexa maps either every tile starts on an
+    even grid row (even rows_per_tile: the x-offset pattern is
+    tile-invariant) or each tile is exactly one grid row (the kernel
+    then keeps BOTH parity patterns in scratch and selects by i % 2)."""
     if noc % tile_n != 0 or tile_n % xdim != 0 or xdim % 8 != 0:
         return False
     rows_per_tile = tile_n // xdim
-    if hexa and rows_per_tile % 2 != 0:
+    if hexa and rows_per_tile % 2 != 0 and rows_per_tile != 1:
         return False
     return True
 
@@ -488,6 +494,11 @@ def _som_fused_factored_kernel(
     streams K=d_real instead of K=D."""
     i = pl.program_id(0)
     rows_per_tile = tile_n // xdim
+    # hexa with one grid row per tile: tiles alternate row parity, so
+    # scratch holds BOTH x-patterns stacked ((2*TN, B); even rows in
+    # [0, TN), odd in [TN, 2*TN)) and each tile selects by i % 2 — the
+    # slice offset parity*TN is provably a lane-tile multiple
+    dual_parity = hexa and rows_per_tile == 1
 
     @pl.when(i == 0)
     def _():
@@ -500,15 +511,17 @@ def _som_fused_factored_kernel(
             bx = colb
         r = r_ref[0, 0]
         s = 1.0 / (2.0 * r * r)
-        # x pattern over TN local rows: col = l % xdim, parity = (l//xdim)%2
-        l = jax.lax.broadcasted_iota(jnp.int32, (tile_n, 1), 0)
+        # x pattern over local rows: col = l % xdim, parity = (l//xdim)%2
+        # (dual_parity: the two stacked blocks are parities 0 and 1)
+        rows = 2 * tile_n if dual_parity else tile_n
+        l = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
         col = (l % xdim).astype(jnp.float32)
         if hexa:
             par = ((l // xdim) % 2).astype(jnp.float32)
             xq = col + 0.5 * par
         else:
             xq = col
-        dx = xq - bx                                      # (TN, B)
+        dx = xq - bx                                      # (rows, B)
         dx2 = dx * dx
         if gaussian:
             wxa_ref[:] = aw_ref[:] * jnp.exp(-dx2 * s)
@@ -536,18 +549,25 @@ def _som_fused_factored_kernel(
         wy_blk = jnp.exp(-(dy * dy) * (1.0 / (2.0 * r * r)))
     else:
         wy_blk = dy * dy
-    t_row = jax.lax.broadcasted_iota(
-        jnp.int32, (tile_n, rows_per_tile), 0) // xdim
-    r_row = jax.lax.broadcasted_iota(
-        jnp.int32, (tile_n, rows_per_tile), 1)
-    expand = (t_row == r_row).astype(jnp.float32)         # (TN, R)
-    wy_exp = jax.lax.dot_general(
-        expand, wy_blk, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)               # (TN, B)
-    if gaussian:
-        w = wxa_ref[:] * wy_exp                           # (TN, B)
+    if dual_parity:
+        # one grid row per tile: wy_blk is (1, B) and broadcasts; the
+        # x-pattern is the parity-matched half of the stacked scratch
+        wxa = wxa_ref[pl.ds((i % 2) * tile_n, tile_n), :]
+        wy_exp = wy_blk                                   # (1, B)
     else:
-        w = jnp.where(wxa_ref[:] + wy_exp <= r * r, aw_ref[:], 0.0)
+        wxa = wxa_ref[:]
+        t_row = jax.lax.broadcasted_iota(
+            jnp.int32, (tile_n, rows_per_tile), 0) // xdim
+        r_row = jax.lax.broadcasted_iota(
+            jnp.int32, (tile_n, rows_per_tile), 1)
+        expand = (t_row == r_row).astype(jnp.float32)     # (TN, R)
+        wy_exp = jax.lax.dot_general(
+            expand, wy_blk, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)           # (TN, B)
+    if gaussian:
+        w = wxa * wy_exp                                  # (TN, B)
+    else:
+        w = jnp.where(wxa + wy_exp <= r * r, aw_ref[:], 0.0)
 
     acc = jax.lax.dot_general(
         w, x_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
@@ -687,7 +707,9 @@ def som_fused_train_step(
                 jax.ShapeDtypeStruct((1, Bn), jnp.int32),
             ],
             scratch_shapes=[
-                pltpu.VMEM((tile_n, B), jnp.float32),
+                pltpu.VMEM(
+                    ((2 * tile_n if (hexa and tile_n == xdim) else tile_n), B),
+                    jnp.float32),
             ],
             cost_estimate=pl.CostEstimate(
                 flops=2 * B * noc * D + 2 * Bn * noc * (d_real or D),

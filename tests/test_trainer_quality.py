@@ -320,11 +320,15 @@ def test_fused_factored_kernel_matches_unfactored():
     assert not _factored_geometry_ok(65536, 256, 512 + 8, True)
     assert not _factored_geometry_ok(96, 12, 24, True)  # xdim % 8 != 0
 
-    for xdim, ydim, hexa, gaussian, d_real in (
-        (16, 8, True, True, None),
-        (16, 8, True, False, None),
-        (16, 12, False, True, 64),
-        (8, 8, True, True, 64),
+    # tn_mult=1 on hexa exercises the dual-parity path (one grid row per
+    # tile, stacked even/odd x-patterns selected by i % 2)
+    for xdim, ydim, hexa, gaussian, d_real, tn_mult in (
+        (16, 8, True, True, None, 2),
+        (16, 8, True, False, None, 2),
+        (16, 12, False, True, 64, 2),
+        (8, 8, True, True, 64, 2),
+        (16, 8, True, True, 64, 1),
+        (16, 8, True, False, None, 1),
     ):
         noc = xdim * ydim
         k1, k2, k3 = jax.random.split(jax.random.PRNGKey(noc + xdim), 3)
@@ -336,7 +340,7 @@ def test_fused_factored_kernel_matches_unfactored():
             xb = xb.at[:, d_real:].set(0.0)
             xn = xn.at[:, d_real:].set(0.0)
         _, bmu = dist_argmin(xb, codes, tile_b=64, tile_n=128)
-        tn = 2 * xdim
+        tn = tn_mult * xdim
         c0, i0, v0 = som_fused_train_step(
             codes, xb, bmu, xn, xdim, hexa, 0.05, 3.0,
             gaussian=gaussian, tile_n=tn, factored=False)

@@ -80,6 +80,22 @@ def main():
             case(f"som_fused_train_step[{tag},{label}]",
                  lambda c0=c0, kw=kw: run(c0, kw))
 
+    # --- dual-parity factored path: one grid row per tile (tile_n ==
+    # xdim on a hexa map) at the B=2048 bench geometry
+    def dual_parity():
+        codes = jax.random.normal(k1, (65536, 128), jnp.float32)
+        xb = jax.random.normal(k2, (2048, 128), jnp.float32)
+        _, bmu0 = dist_argmin(xb, codes)
+        c2, bmu, _ = som_fused_train_step(
+            codes, xb, bmu0, xb, 256, True, jnp.float32(0.02),
+            jnp.float32(3.0), gaussian=True, tile_n=256, factored=True,
+            d_real=64)
+        assert np.isfinite(np.asarray(c2, dtype=np.float32)).all()
+        b = np.asarray(bmu)
+        assert (b >= 0).all() and (b < 65536).all()
+
+    case("som_fused_train_step[dual_parity,B2048,tile256]", dual_parity)
+
     # --- VMEM multi-step kernel at the trainer's auto geometry
     def vmem():
         noc, B, K = 4096, 512, 8
