@@ -399,7 +399,18 @@ def find_qerror(codes: Dataset, data: Dataset, mode: str = "parity") -> float:
         else:
             xs = jnp.asarray(data.points[s:e])
             xm = None if data.mask is None else jnp.asarray(data.mask[s:e])
-        mind = jnp.min(sq_distances(xs, M, xm), axis=-1)
+        # find the winner at native MXU precision (fast), then recompute
+        # only the winner's distance exactly in f32 elementwise (B*D
+        # work): the full exact (B, N) matmul at precision='highest' is
+        # ~8x slower on the MXU and only the winning distance matters
+        # here.  A near-tie argmin flip changes the result by at most
+        # the tie gap (~1e-3 relative) — fine for the quality metric;
+        # the bit-anchored figure is mode='parity'.
+        idx = jnp.argmin(sq_distances(xs, M, xm, precision=None), axis=-1)
+        diff = xs - M[idx]
+        if xm is not None:
+            diff = diff * (1.0 - xm.astype(jnp.float32))
+        mind = jnp.sum(diff * diff, axis=-1)
         mind = mind * jnp.asarray(valid_np)
         total += float(jnp.sum(jnp.sqrt(jnp.maximum(mind, 0.0))))
     return total
