@@ -167,7 +167,11 @@ def prep_fused(codes0, xb, xn, bmu0, *, tile_n, factored, d_real):
         return time.perf_counter() - t0
 
     chain(1)
-    return lambda: slope_time(chain)
+    # returns the RAW chain: the sweep interleaves all fused configs
+    # round-robin so every config's repeats sample the same chip phase
+    # (sequential per-config best-of-3 lets a phase shift masquerade as
+    # a config difference)
+    return chain
 
 
 def fused_flops(Bc, d_win):
@@ -540,15 +544,31 @@ def main():
             extra[name] = f"failed: {type(e).__name__}"
             return None
 
+    # interleaved sweep: one (short, long) slope sample per config per
+    # round, three rounds — every config's repeats sample the same chip
+    # phase, so a mid-sweep phase shift cannot masquerade as a config
+    # difference; per-config value = median positive slope
+    FUSED_NAMES = ("fused_fact_dreal_bf16", "fused_fact_dreal_f32",
+                   "fused_plain_f32_tile512", "fused_fact_f32",
+                   "fused_plain_bf16_tile512", "fused_fact_dreal_f32_B2048")
+    slopes = {n: [] for n in FUSED_NAMES if n in measures}
+    for _rep in range(3):
+        for name in slopes:
+            try:
+                ch = measures[name]
+                ts, tl = ch(50), ch(200)
+                slopes[name].append((tl - ts) / 150)
+            except Exception as e:
+                extra[name] = f"failed: {type(e).__name__}"
     sweep = {}   # name -> (dt, B of the config)
-    for name in ("fused_fact_dreal_bf16", "fused_fact_dreal_f32",
-                 "fused_plain_f32_tile512", "fused_fact_f32",
-                 "fused_plain_bf16_tile512", "fused_fact_dreal_f32_B2048"):
-        dt = measure(name)
-        if dt:
-            Bc = 2 * B if "B2048" in name else B
-            sweep[name] = (dt, Bc)
-            extra["step_us_" + name[6:]] = round(dt * 1e6, 1)
+    for name, ss in slopes.items():
+        pos = sorted(s for s in ss if s > 0)
+        if not pos:
+            continue
+        dt = pos[len(pos) // 2]
+        Bc = 2 * B if "B2048" in name else B
+        sweep[name] = (dt, Bc)
+        extra["step_us_" + name[6:]] = round(dt * 1e6, 1)
     if not sweep:
         print(json.dumps({
             "metric": "som_train_step_evals_per_s_chip", "value": 0,
@@ -639,7 +659,10 @@ def main():
     # the shared chip's contention phases shift minute to minute, and the
     # metric should reflect the hardware, not the noisiest moment
     if time.perf_counter() - t_meas < budget_s:
-        dt2 = measure(best_name)
+        try:
+            dt2 = slope_time(measures[best_name])
+        except Exception:
+            dt2 = None
         if dt2 and dt2 < dt_fused:
             dt_fused = dt2
             extra["step_us_" + best_name[6:]] = round(dt_fused * 1e6, 1)
