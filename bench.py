@@ -174,11 +174,6 @@ def prep_fused(codes0, xb, xn, bmu0, *, tile_n, factored, d_real):
     return chain
 
 
-def fused_flops(Bc, d_win):
-    """Padded MXU FLOPs of one fused step: update + winner contraction."""
-    return 2 * Bc * N * DP + 2 * Bc * N * d_win
-
-
 # ---------------------------------------------------------------------------
 # extras
 # ---------------------------------------------------------------------------
@@ -513,7 +508,9 @@ def main():
         ("somexample_shape", prep_somexample_shape),
         ("vfind_parallel_trials", prep_vfind),
     ]
-    ESSENTIAL = 5  # the first five are always compiled, budget or not
+    # headline candidates + BOTH probes are always compiled: the
+    # roofline block needs hbm_probe AND mxu_probe together
+    ESSENTIAL = 6
     measures = {}
     compile_s = {}
     for i, (name, prep) in enumerate(warm_specs):
@@ -624,10 +621,10 @@ def main():
             extra["fused_vs_unfused_speedup"] = round(dt / min(b1024), 2)
     dt = measure("dist_kernel")
     if dt:
-        extra["dist_kernel_evals_per_s"] = round(evals / dt)
+        extra["dist_kernel_evals_per_s"] = round(B * N / dt)  # runs at B=1024
     dt = measure("olvq1")
     if dt:
-        extra["olvq1_step_evals_per_s"] = round(evals / dt)
+        extra["olvq1_step_evals_per_s"] = round(B * N / dt)  # runs at B=1024
     dt = measure("sharded_1chip_mesh")
     if dt:
         extra["sharded_step_us_1chip_mesh"] = round(dt * 1e6, 1)

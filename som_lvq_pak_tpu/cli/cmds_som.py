@@ -312,6 +312,15 @@ def cmd_vfind(scanner: ArgScanner, progname: str) -> int:
         err("Dimensions of map (%d %d) are incorrect" % (xdim, ydim))
 
     nod = testdata.n
+    if fast and (weights or fixed or data.mask is not None):
+        # the batched trial path carries no weight=/fixed=/mask handling;
+        # fall back to the sequential parity trials rather than silently
+        # training something other than what the flags requested
+        if ifverbose(1):
+            sys.stderr.write(
+                "vfind: -fast ignored (-weights/-fixed/masked data use "
+                "the sequential path)\n")
+        fast = False
     if fast:
         best_codes, best_trial, best_q, qerrs = som.vfind_trials(
             data, testdata, ntrials, topol, neigh, xdim, ydim,
@@ -322,15 +331,16 @@ def cmd_vfind(scanner: ArgScanner, progname: str) -> int:
             for trial in range(ntrials, 0, -1):
                 sys.stderr.write(
                     "%3d: %f\n" % (trial, np.float32(qerrs[trial]) / np.float32(nod)))
-        if ifverbose(2):
-            sys.stdout.write(
-                "Codebook entries are saved to file %s\n" % out_code_file)
-        write_data(best_codes, out_code_file)
-        if ifverbose(1):
-            sys.stdout.write(
-                "Smallest error with random seed %3d: %f\n"
-                % (best_trial, np.float32(best_q) / np.float32(nod))
-            )
+        if best_codes is not None:
+            if ifverbose(2):
+                sys.stdout.write(
+                    "Codebook entries are saved to file %s\n" % out_code_file)
+            write_data(best_codes, out_code_file)
+            if ifverbose(1):
+                sys.stdout.write(
+                    "Smallest error with random seed %3d: %f\n"
+                    % (best_trial, np.float32(best_q) / np.float32(nod))
+                )
         return 0
 
     best_codes = None

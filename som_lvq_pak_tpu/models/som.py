@@ -500,6 +500,10 @@ def vfind_trials(
 
     gaussian = neigh == Neighborhood.GAUSSIAN
     hexa = topol == Topology.HEXA
+    if ntrials <= 0:
+        # parity behavior: the reference's countdown loop never runs and
+        # nothing is written (vfind.c:247)
+        return None, 0, float("inf"), {}
     trials = list(range(ntrials, 0, -1))
     stacks = []
     for trial in trials:

@@ -259,17 +259,9 @@ class SOMTrainer:
                 # late-schedule batch must not retrain the stream's head)
                 skip = start * self.batch_size
                 while skip > 0 and pending is not None:
-                    X, mk, wt, ff, n = pending
-                    if n <= skip:
-                        skip -= n
+                    pending, skip = _skip_stream_samples(pending, skip)
+                    if pending is None:
                         pending = next_chunk()
-                    else:
-                        pending = (X[skip:],
-                                   None if mk is None else mk[skip:],
-                                   None if wt is None else wt[skip:],
-                                   None if ff is None else ff[skip:],
-                                   n - skip)
-                        skip = 0
                 while b < nb:
                     while buffered < self.batch_size:
                         if pending is None:
@@ -544,6 +536,20 @@ class SOMTrainer:
         return self.meta
 
 
+def _skip_stream_samples(t, skip):
+    """Drop the first `skip` samples from a packed chunk tuple
+    (*arrays_or_None, n) — the resume-exact stream fast-forward shared
+    by SOMTrainer's and the LVQ drivers' streaming branches.  Returns
+    (tuple_or_None, remaining_skip); None = the chunk was consumed
+    entirely."""
+    n = t[-1]
+    if n <= skip:
+        return None, skip - n
+    if skip == 0:
+        return t, 0
+    return tuple(a if a is None else a[skip:] for a in t[:-1]) + (n - skip,), 0
+
+
 def _labeled_batches(data, start, nb, batch_size, keybox,
                      allow_short_stream=False):
     """Yield (b, xb, xlab, mask) minibatches for the LVQ drivers.
@@ -589,12 +595,9 @@ def _labeled_batches(data, start, nb, batch_size, keybox,
             t = (np_.ascontiguousarray(c.points), c.first_labels(),
                  c.mask, c.n)
             if skip > 0:
-                if t[3] <= skip:
-                    skip -= t[3]
+                t, skip = _skip_stream_samples(t, skip)
+                if t is None:
                     continue
-                t = (t[0][skip:], t[1][skip:],
-                     None if t[2] is None else t[2][skip:], t[3] - skip)
-                skip = 0
             bufs.append(t)
             buffered += t[3]
         X = np_.concatenate([t[0] for t in bufs])

@@ -183,6 +183,13 @@ def auto_pairwise_topk(X, codes, knn, xmask=None):
     reference's O(N^2 dim) scalar workloads (eveninit.c:46-158,
     lvq_rout.c:38-80) feasible: a 1M-vector self-kNN is 1e12 pairs.
 
+    The device path's f32 matmul accumulation order differs from the C
+    scan's, so near-equal k-th neighbors can order differently in the
+    last ulps above the threshold — there are no golden fixtures at
+    such scales, but set SOMVQ_AUTO_TOPK_PAIRS=-1 (any negative) to
+    force the exact host path at every size when C-identical output
+    matters more than wall-clock.
+
     Inputs/outputs are NumPy ((N, knn) indices + squared distances)."""
     import os
 
@@ -190,7 +197,7 @@ def auto_pairwise_topk(X, codes, knn, xmask=None):
 
     threshold = int(os.environ.get("SOMVQ_AUTO_TOPK_PAIRS", 1 << 25))
     n_pairs = X.shape[0] * codes.shape[0]
-    if n_pairs <= threshold:
+    if threshold < 0 or n_pairs <= threshold:
         from . import exact
 
         return exact.pairwise_topk(np.asarray(X), np.asarray(codes), knn,

@@ -399,7 +399,7 @@ def _fused_argmin_epilogue(d_t, j, tile_n, val_ref, idx_ref):
 
 
 def fused_step_vmem_bytes(tile_n: int, B: int, D: int,
-                          factored: bool = False, ydim: int = 0,
+                          factored: bool = False,
                           dual: bool = False) -> int:
     """Approximate VMEM working set of one fused-step grid cell: batch
     blocks + codebook tiles + the (tile_n, B) weight/distance blocks
@@ -425,13 +425,12 @@ def pick_fused_tile_n(noc: int, B: int, D: int, xdim: int = 0,
     `budget` (default 12 MB, leaving headroom under the ~16 MB scoped
     limit).  When `factored`, only tile_n values compatible with the
     separable-kernel geometry (multiples of xdim) are considered."""
-    ydim = noc // xdim if xdim else 0
     for tn in (1024, 512, 256, 128, 64, 32, 16, 8):
         if tn > noc:
             continue
         if factored and (xdim <= 0 or tn % xdim != 0):
             continue
-        if fused_step_vmem_bytes(tn, B, D, factored, ydim,
+        if fused_step_vmem_bytes(tn, B, D, factored,
                                  dual=(tn == xdim)) <= budget:
             return tn
     return 8
@@ -473,6 +472,7 @@ def _som_fused_factored_kernel(
     hexa: bool,
     ydim: int,
     d_real: Optional[int],
+    precision=None,
 ):
     """Separable-neighborhood fused step: the grid metric decomposes as
     d^2 = dx^2 + dy^2 with dx a function of (unit column, row parity)
@@ -589,7 +589,7 @@ def _som_fused_factored_kernel(
     mx = jax.lax.dot_general(
         cw.astype(xn_ref.dtype), xw,
         (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.float32, precision=precision,
     )                                                     # (TN, B')
     s_t = mx - m2h
     local_max = jnp.max(s_t, axis=0, keepdims=True)               # (1, B')
@@ -685,7 +685,7 @@ def som_fused_train_step(
             functools.partial(
                 _som_fused_factored_kernel,
                 gaussian=gaussian, tile_n=tile_n, xdim=xdim, hexa=hexa,
-                ydim=ydim, d_real=d_real,
+                ydim=ydim, d_real=d_real, precision=precision,
             ),
             grid=(noc // tile_n,),
             in_specs=[

@@ -332,3 +332,32 @@ def test_vfind_fast_flag_matches_selection(ref_dir, tmp_path):
     best_par = read_data("best_par.cod")
     q_par = msom.find_qerror(best_par, data, mode="fast") / data.n
     assert q_fast < 1.3 * q_par, (q_fast, q_par)
+
+
+def test_vfind_fast_degenerate_and_flag_fallback(ref_dir, tmp_path):
+    """-fast with 0 trials exits cleanly writing nothing (parity
+    behavior); -fast combined with -weights falls back to the
+    sequential path rather than silently dropping the flag."""
+    os.chdir(tmp_path)
+    answers = "\n".join([
+        "0", f"{ref_dir}/ex.dat", f"{ref_dir}/ex.dat", "zero.cod",
+        "hexa", "bubble", "3", "2",
+        "50", "0.05", "3", "50", "0.02", "2",
+    ]) + "\n"
+    rc, out = run("vfind", "-fast", stdin=answers)
+    assert rc == 0
+    assert not os.path.exists("zero.cod")
+
+    answers2 = "\n".join([
+        "1", f"{ref_dir}/ex.dat", f"{ref_dir}/ex.dat", "wf.cod",
+        "hexa", "bubble", "3", "2",
+        "60", "0.05", "3", "60", "0.02", "2",
+    ]) + "\n"
+    rc, _ = run("vfind", "-fast", "-weights", "1", stdin=answers2)
+    assert rc == 0
+    rc, _ = run("vfind", "-weights", "1",
+                stdin=answers2.replace("wf.cod", "wp.cod"))
+    assert rc == 0
+    a = open("wf.cod").read()
+    b = open("wp.cod").read()
+    assert a == b  # fell back to the identical sequential path
