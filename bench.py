@@ -281,6 +281,34 @@ def prep_sharded(codes0, xb):
     return lambda: slope_time(chain)
 
 
+def prep_sharded_fused(codes0, xb, bmu0):
+    """Fused TP step on a 1-device model-only mesh: one pass per
+    codebook shard + allgather-min winner, vs the unfused sharded
+    step's separate winner + update passes (sharded_1chip_mesh)."""
+    from som_lvq_pak_tpu.parallel.mesh import make_mesh
+    from som_lvq_pak_tpu.parallel.sharded import (
+        make_sharded_fused_som_train_step,
+    )
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = make_mesh(1, data=1, model=1)
+    step = make_sharded_fused_som_train_step(
+        mesh, gaussian=True, xdim=XDIM, hexa=True, tile_n=512, d_real=D)
+    cs = jax.device_put(codes0, NamedSharding(mesh, P("model", None)))
+
+    def chain(iters):
+        c, bm = step(cs, xb, bmu0, xb, ALPHA, RADIUS)
+        _ = float(np.asarray(c[0, 0]))
+        t0 = time.perf_counter()
+        for _i in range(iters):
+            c, bm = step(c, xb, bm, xb, ALPHA, RADIUS)
+        _ = float(np.asarray(c[0, 0]))
+        return time.perf_counter() - t0
+
+    chain(1)
+    return lambda: slope_time(chain)
+
+
 def prep_vmem_steps():
     """VMEM-resident K-steps-per-dispatch path at a mid-size map
     (noc=4096 fits VMEM): the codebook never touches HBM between steps."""
@@ -504,6 +532,8 @@ def main():
         ("dist_kernel", lambda: prep_dist(codes, xb)),
         ("olvq1", lambda: prep_olvq1(codes, xb)),
         ("sharded_1chip_mesh", lambda: prep_sharded(codes, xb)),
+        ("sharded_fused_1chip_mesh", lambda: prep_sharded_fused(
+            codes, xb, bmu0)),
         ("vmem_resident", prep_vmem_steps),
         ("somexample_shape", prep_somexample_shape),
         ("vfind_parallel_trials", prep_vfind),
@@ -628,6 +658,9 @@ def main():
     dt = measure("sharded_1chip_mesh")
     if dt:
         extra["sharded_step_us_1chip_mesh"] = round(dt * 1e6, 1)
+    dt = measure("sharded_fused_1chip_mesh")
+    if dt:
+        extra["sharded_fused_step_us_1chip_mesh"] = round(dt * 1e6, 1)
     r = measure("vmem_resident")
     if r:
         dt_vmem, vm_noc, vm_b = r

@@ -62,14 +62,16 @@ def _grid_xy(idx, xdim: int, hexa: bool):
     return x, y
 
 
-def _neighborhood_w(bmu, aw, radius, i, tile_n, xdim, hexa, gaussian):
+def _neighborhood_w(bmu, aw, radius, base, tile_n, xdim, hexa, gaussian):
     """(TN, TB) neighborhood weights for one (codebook-tile, batch-tile)
     cell, recomputed on the VPU from grid geometry.  `aw` is the (1, TB)
     per-sample effective alpha (carries weight= scaling, empty-sample
-    zeroing, and batch padding zeros)."""
+    zeroing, and batch padding zeros).  `base` = GLOBAL unit index of the
+    tile's first row (i * tile_n, plus the shard offset when the
+    codebook is a model-axis shard of a larger map) — may be traced."""
     bx, by = _grid_xy(bmu, xdim, hexa)                 # (1, TB)
     # local codebook rows' coordinates from the global row index
-    lidx = i * tile_n + jax.lax.broadcasted_iota(jnp.int32, (tile_n, 1), 0)
+    lidx = base + jax.lax.broadcasted_iota(jnp.int32, (tile_n, 1), 0)
     lx, ly = _grid_xy(lidx, xdim, hexa)                # (TN, 1)
 
     # W computed directly in (TN, TB) orientation: the contraction dim
@@ -118,8 +120,8 @@ def _som_update_kernel(
         acc_ref[:] = jnp.zeros_like(acc_ref)
         wsum_ref[:] = jnp.zeros_like(wsum_ref)
 
-    w = _neighborhood_w(bmu_ref[:], aw_ref[:], r_ref[0, 0], i, tile_n,
-                        xdim, hexa, gaussian)
+    w = _neighborhood_w(bmu_ref[:], aw_ref[:], r_ref[0, 0], i * tile_n,
+                        tile_n, xdim, hexa, gaussian)
     acc_ref[:] += jax.lax.dot_general(
         w, x_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
@@ -159,8 +161,8 @@ def _som_update_masked_kernel(
         acc_ref[:] = jnp.zeros_like(acc_ref)
         wsum_ref[:] = jnp.zeros_like(wsum_ref)
 
-    w = _neighborhood_w(bmu_ref[:], aw_ref[:], r_ref[0, 0], i, tile_n,
-                        xdim, hexa, gaussian)
+    w = _neighborhood_w(bmu_ref[:], aw_ref[:], r_ref[0, 0], i * tile_n,
+                        tile_n, xdim, hexa, gaussian)
     acc_ref[:] += jax.lax.dot_general(
         w, x_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
@@ -329,6 +331,8 @@ def _som_fused_step_kernel(
     xn_ref,       # (B', D)   NEXT batch (winner search target)
     codes_ref,    # (TN, D)   codebook tile (input)
     r_ref,        # (1, 1)    radius
+    off_ref,      # (1, 1)    int32 GLOBAL unit index of local row 0 (0 on
+    #             a whole codebook; the shard's row offset under model-TP)
     out_ref,      # (TN, D)   updated codebook tile
     val_ref,      # (B', 1)   next batch: running min partial distance
     idx_ref,      # (B', 1)   next batch: running argmin
@@ -351,7 +355,8 @@ def _som_fused_step_kernel(
     VMEM).  This is the HBM floor for online-minibatch SOM training."""
     i = pl.program_id(0)
 
-    w = _neighborhood_w(bmu_ref[:], aw_ref[:], r_ref[0, 0], i, tile_n,
+    w = _neighborhood_w(bmu_ref[:], aw_ref[:], r_ref[0, 0],
+                        off_ref[0, 0] + i * tile_n, tile_n,
                         xdim, hexa, gaussian)           # (TN, B)
     acc = jax.lax.dot_general(
         w, x_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
@@ -632,6 +637,10 @@ def som_fused_train_step(
     precision=None,
     factored: Optional[bool] = None,
     d_real: Optional[int] = None,
+    unit_offset=None,       # traced int: GLOBAL unit index of row 0 when
+    #                       `codes` is a model-axis shard of a larger map
+    #                       (grid geometry and the BMU contract stay
+    #                       global; returned winner indices stay LOCAL)
 ):
     """One fused SOM training step at the HBM roofline.
 
@@ -668,7 +677,12 @@ def som_fused_train_step(
             "multiple of 128 (pad once, train padded — see "
             "models.fast.som_train_fast)")
     if factored is None:
-        factored = _factored_geometry_ok(noc, xdim, tile_n, hexa)
+        factored = unit_offset is None and _factored_geometry_ok(
+            noc, xdim, tile_n, hexa)
+    if factored and unit_offset is not None:
+        raise ValueError(
+            "som_fused_train_step: unit_offset needs factored=False (the "
+            "separable x-pattern assumes the shard starts at unit 0)")
     if factored:
         if not _factored_geometry_ok(noc, xdim, tile_n, hexa):
             raise ValueError(
@@ -731,6 +745,8 @@ def som_fused_train_step(
     aw = jnp.broadcast_to(jnp.asarray(alpha, dtype=jnp.float32), (B,))
     awp = jnp.reshape(aw, (1, B))
     rr = jnp.asarray([[radius]], dtype=jnp.float32)
+    oo = jnp.reshape(jnp.asarray(
+        0 if unit_offset is None else unit_offset, jnp.int32), (1, 1))
 
     grid = (Np // tile_n,)
     codes_new, val, idx = pl.pallas_call(
@@ -746,6 +762,7 @@ def som_fused_train_step(
             pl.BlockSpec((B, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((Bn, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_n, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -765,7 +782,7 @@ def som_fused_train_step(
             transcendentals=B * Np if gaussian else 0,
         ),
         interpret=interpret,
-    )(bp, awp, xb, xb_next, codes, rr)
+    )(bp, awp, xb, xb_next, codes, rr, oo)
     if Np != noc:
         codes_new = codes_new[:noc]
     return codes_new, idx[0, :], val[0, :]
@@ -819,8 +836,8 @@ def _som_vmem_steps_kernel(
     # pass 1: neighborhood update, row chunk at a time (in-VMEM R/W)
     for c in range(n_chunks):
         rows = pl.ds(c * row_chunk, row_chunk)
-        w = _neighborhood_w(bmu, aw, radius, c, row_chunk, xdim, hexa,
-                            gaussian)                     # (RC, B)
+        w = _neighborhood_w(bmu, aw, radius, c * row_chunk, row_chunk,
+                            xdim, hexa, gaussian)         # (RC, B)
         acc = jax.lax.dot_general(
             w, x, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)           # (RC, D)

@@ -6,6 +6,7 @@ from .sharded import (
     ring_winner_search,
     make_dim_sharded_winner,
     make_sharded_olvq1_train_step,
+    make_sharded_fused_som_train_step,
     make_sharded_som_train_step,
     sharded_olvq1_step,
     sharded_som_step,
@@ -20,6 +21,7 @@ __all__ = [
     "sharded_winner_search",
     "sharded_olvq1_step",
     "dim_sharded_winner_search",
+    "make_sharded_fused_som_train_step",
     "make_sharded_som_train_step",
     "make_sharded_olvq1_train_step",
     "make_dim_sharded_winner",

@@ -459,3 +459,65 @@ def make_ring_winner(mesh: Mesh) -> Callable:
         out_specs=(P(("data", "model")), P(("data", "model"))),
     )
     return jax.jit(smapped)
+
+
+# ---------------------------------------------------------------------------
+# Fused TP train step: ONE pass over each codebook shard per training step
+# ---------------------------------------------------------------------------
+
+def make_sharded_fused_som_train_step(
+    mesh: Mesh, gaussian: bool, xdim: int, hexa: bool,
+    tile_n: int = 512, d_real=None,
+) -> Callable:
+    """Software-pipelined tensor-parallel fused step: per model shard,
+    ONE pass over the local codebook rows applies batch t's neighborhood
+    update AND computes batch t+1's local winner candidates against the
+    just-updated rows (ops.pallas_som.som_fused_train_step with the
+    shard's global unit offset); the global winner is then an
+    all_gather-min of S (val, global_index) pairs over the model axis —
+    O(B*S) scalars on ICI.  versus the unfused sharded step's separate
+    winner + update passes (2-3 codebook reads per step), every shard
+    reads and writes its rows ONCE.
+
+    The batch is replicated over the mesh (the update blend is computed
+    in-kernel per shard, which is only exact when each shard sees the
+    WHOLE batch), so this step wants a mesh with data-axis size 1 —
+    pure TP, the large-codebook regime this path exists for; it raises
+    otherwise.  Winner tie-break: lowest global index (lvq_pak.c:79).
+
+    step(codes P('model', None), xb replicated, bmu replicated,
+    xb_next replicated, alpha, radius) -> (codes', bmu_next (B',))."""
+    if mesh.shape["data"] != 1:
+        raise ValueError(
+            "make_sharded_fused_som_train_step: needs data-axis size 1 "
+            "(batch replicated; the in-kernel blend is per whole batch) "
+            f"— got data={mesh.shape['data']}")
+
+    from ..ops.pallas_som import som_fused_train_step
+
+    def local(codes_l, xb, bmu, xn, alpha, radius):
+        n_local = codes_l.shape[0]
+        shard = jax.lax.axis_index("model")
+        off = shard.astype(jnp.int32) * n_local
+        c2, idx_l, val_l = som_fused_train_step(
+            codes_l, xb, bmu, xn, xdim, hexa, alpha, radius,
+            gaussian=gaussian, tile_n=min(tile_n, n_local),
+            factored=False, d_real=d_real, unit_offset=off,
+        )
+        gidx_l = idx_l.astype(jnp.int32) + off
+        vals = jax.lax.all_gather(val_l, "model")    # (S, B')
+        gidxs = jax.lax.all_gather(gidx_l, "model")  # (S, B')
+        best_val = jnp.min(vals, axis=0)
+        cand = jnp.where(vals == best_val[None, :], gidxs,
+                         jnp.iinfo(jnp.int32).max)
+        bmu_next = jnp.min(cand, axis=0)
+        return c2, bmu_next
+
+    smapped = jax.shard_map(
+        local,
+        mesh=mesh,
+        check_vma=False,
+        in_specs=(P("model", None), P(), P(), P(), P(), P()),
+        out_specs=(P("model", None), P()),
+    )
+    return jax.jit(smapped)

@@ -185,3 +185,58 @@ def test_dim_sharded_winner_search_large_codebook(mesh):
     winner = make_dim_sharded_winner(mesh, chunk=2048)
     _, idx = winner(xb, codes)
     np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref_idx))
+
+
+def test_sharded_fused_step_matches_single_device():
+    """The fused TP step (one pass per codebook shard + allgather-min
+    winner) must reproduce the single-device fused kernel: codes to
+    float tolerance and winner indices exactly, over several chained
+    steps."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from som_lvq_pak_tpu.ops.pallas_distance import dist_argmin
+    from som_lvq_pak_tpu.ops.pallas_som import som_fused_train_step
+    from som_lvq_pak_tpu.parallel.sharded import (
+        make_sharded_fused_som_train_step,
+    )
+
+    mesh = make_mesh(8, data=1, model=8)
+    noc, D, B, xdim = 128, 128, 32, 16
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(2), 3)
+    codes = jax.random.normal(k1, (noc, D), dtype=jnp.float32)
+    xb = jax.random.normal(k2, (B, D), dtype=jnp.float32)
+    xn = jax.random.normal(k3, (B, D), dtype=jnp.float32)
+    _, bmu0 = dist_argmin(xb, codes, tile_b=32, tile_n=64)
+
+    step = make_sharded_fused_som_train_step(
+        mesh, gaussian=True, xdim=xdim, hexa=True, tile_n=16)
+    cs = jax.device_put(codes, NamedSharding(mesh, P("model", None)))
+    c_sh, bm_sh = cs, bmu0
+    c_ref, bm_ref = codes, bmu0
+    for t in range(3):
+        a = jnp.float32(0.05 - 0.01 * t)
+        r = jnp.float32(3.0 - 0.5 * t)
+        c_sh, bm_sh = step(c_sh, xb, bm_sh, xn, a, r)
+        c_ref, bm_ref, _ = som_fused_train_step(
+            c_ref, xb, bm_ref, xn, xdim, True, a, r,
+            gaussian=True, tile_n=16, factored=False)
+        # alternate the batches so the pipeline advances both ways
+        xb, xn = xn, xb
+    np.testing.assert_allclose(np.asarray(c_sh), np.asarray(c_ref),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(bm_sh), np.asarray(bm_ref))
+
+
+def test_sharded_fused_step_rejects_data_parallel_mesh():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from som_lvq_pak_tpu.parallel.sharded import (
+        make_sharded_fused_som_train_step,
+    )
+
+    mesh = make_mesh(8, data=2, model=4)
+    with pytest.raises(ValueError, match="data-axis size 1"):
+        make_sharded_fused_som_train_step(mesh, gaussian=True, xdim=8,
+                                          hexa=True)
