@@ -96,6 +96,27 @@ def main():
 
     case("som_fused_train_step[dual_parity,B2048,tile256]", dual_parity)
 
+    # --- fused TP step (shard_map + pallas with a traced unit offset)
+    def fused_tp():
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from som_lvq_pak_tpu.parallel.mesh import make_mesh
+        from som_lvq_pak_tpu.parallel.sharded import (
+            make_sharded_fused_som_train_step,
+        )
+
+        codes = jax.random.normal(k1, (65536, 128), jnp.float32)
+        xb = jax.random.normal(k2, (1024, 128), jnp.float32)
+        _, bmu0 = dist_argmin(xb, codes)
+        mesh = make_mesh(1, data=1, model=1)
+        step = make_sharded_fused_som_train_step(
+            mesh, gaussian=True, xdim=256, hexa=True, tile_n=512, d_real=64)
+        cs = jax.device_put(codes, NamedSharding(mesh, P("model", None)))
+        c, bm = step(cs, xb, bmu0, xb, jnp.float32(0.02), jnp.float32(3.0))
+        assert np.isfinite(np.asarray(c)).all()
+
+    case("sharded_fused_tp[65536,1-device-mesh]", fused_tp)
+
     # --- VMEM multi-step kernel at the trainer's auto geometry
     def vmem():
         noc, B, K = 4096, 512, 8
