@@ -344,6 +344,39 @@ class SOMTrainer:
                     extra={"alpha": float(alpha), "radius": float(radius)},
                 ))
 
+        Dp = -(-D // 128) * 128
+        hexa = self.meta.topol == Topology.HEXA
+
+        def pad(xb):
+            if xb.shape[1] == Dp:
+                return xb
+            return jnp.zeros((xb.shape[0], Dp), jnp.float32).at[
+                :, :xb.shape[1]].set(xb)
+
+        def eff_alpha(b, wt_b, mk_b):
+            a = jnp.full((self.batch_size,), jnp.float32(talp[b]))
+            if wt_b is not None:
+                w = jnp.where(wt_b > 0.0, wt_b, 1.0).astype(jnp.float32)
+                a = 1.0 - jnp.power(1.0 - a, w)
+            if mk_b is not None:
+                a = jnp.where(jnp.all(mk_b != 0, axis=-1), 0.0, a)
+            return a
+
+        # pure-TP meshes (data-axis 1) run the pipelined fused TP step:
+        # each model shard reads+writes its codebook rows ONCE per step
+        # (update of batch t + winner candidates of batch t+1 in one
+        # pass), global winner via allgather-min (parallel.sharded).
+        # Streams and masked data stay on the per-batch two-pass path.
+        n_shards = 0 if self.mesh is None else self.mesh.shape.get("model", 0)
+        use_fused_tp = (
+            self.mesh is not None and self.use_pallas
+            and self.mesh.shape.get("data", 0) == 1
+            and isinstance(data, Dataset) and data.mask is None
+            and n_shards > 0 and self.meta.n % n_shards == 0
+            and (self.meta.n // n_shards) % 8 == 0
+            and not self.bf16
+        )
+
         if use_fused:
             import jax
 
@@ -354,26 +387,9 @@ class SOMTrainer:
                 som_fused_train_step,
             )
 
-            Dp = -(-D // 128) * 128
             Mp = jnp.zeros((self.meta.n, Dp), jnp.float32).at[:, :D].set(M)
             if self.bf16:
                 Mp = Mp.astype(jnp.bfloat16)
-            hexa = self.meta.topol == Topology.HEXA
-
-            def pad(xb):
-                if xb.shape[1] == Dp:
-                    return xb
-                return jnp.zeros((xb.shape[0], Dp), jnp.float32).at[
-                    :, :xb.shape[1]].set(xb)
-
-            def eff_alpha(b, wt_b, mk_b):
-                a = jnp.full((self.batch_size,), jnp.float32(talp[b]))
-                if wt_b is not None:
-                    w = jnp.where(wt_b > 0.0, wt_b, 1.0).astype(jnp.float32)
-                    a = 1.0 - jnp.power(1.0 - a, w)
-                if mk_b is not None:
-                    a = jnp.where(jnp.all(mk_b != 0, axis=-1), 0.0, a)
-                return a
 
             # small codebooks (fits VMEM alongside working blocks): run
             # K steps per kernel dispatch with the codebook VMEM-resident
@@ -519,6 +535,49 @@ class SOMTrainer:
                 maybe_ckpt(b, Mp)
                 prev = nxt
             M = Mp[:, :D].astype(jnp.float32)
+        elif use_fused_tp:
+            import jax
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..ops.pallas_distance import dist_argmin
+            from ..ops.pallas_som import pick_fused_tile_n
+            from ..parallel.sharded import make_sharded_fused_som_train_step
+
+            n_local = self.meta.n // n_shards
+            tile_n = min(pick_fused_tile_n(self.meta.n, self.batch_size, Dp),
+                         max(8, n_local))
+            d_real = D if (D < Dp and D % 8 == 0) else None
+            step = make_sharded_fused_som_train_step(
+                self.mesh, gaussian=self.gaussian, xdim=self.meta.xdim,
+                hexa=hexa, tile_n=tile_n, d_real=d_real)
+            Mp = jnp.zeros((self.meta.n, Dp), jnp.float32).at[:, :D].set(M)
+
+            it = batches()
+            prev = next(it, None)
+            bmu = None
+            if prev is not None:
+                _, bmu = dist_argmin(pad(prev[1]), Mp)
+                if prev[4] is not None:
+                    bmu = jnp.where(prev[4] >= 0, prev[4], bmu)
+            Mp = jax.device_put(Mp, NamedSharding(self.mesh,
+                                                  P("model", None)))
+            while prev is not None:
+                b, xb, mk_b, wt_b, ff_b = prev
+                nxt = next(it, None)
+                xb_p = pad(xb)
+                xn_p = pad(nxt[1]) if nxt is not None else xb_p
+                Mp, bmu_next = step(
+                    Mp, xb_p, bmu, xn_p, eff_alpha(b, wt_b, mk_b),
+                    jnp.float32(trad[b]))
+                if nxt is not None:
+                    bmu = bmu_next
+                    if nxt[4] is not None:
+                        bmu = jnp.where(nxt[4] >= 0, nxt[4], bmu)
+                if progress is not None:
+                    progress.step(self.batch_size)
+                maybe_ckpt(b, Mp)
+                prev = nxt
+            M = jnp.asarray(Mp)[:, :D]
         else:
             for b, xb, mk_b, wt_b, ff_b in batches():
                 M = self._one_step(M, xb, talp[b], trad[b],

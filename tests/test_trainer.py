@@ -355,3 +355,29 @@ def test_som_trainer_streaming_vmem_masked_group_fallback(ex_dat):
     out_u = tr_u.fit(stream(), rlen=512, alpha=0.05, radius=3.0)
     np.testing.assert_allclose(out_v.points, out_u.points, rtol=2e-2,
                                atol=2e-2)
+
+
+def test_som_trainer_tp_mesh_fused_path(ex_dat):
+    """On a pure-TP mesh (data=1) the trainer runs the pipelined fused
+    TP step; the result must match the two-pass mesh path on the same
+    batches to float tolerance."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from som_lvq_pak_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(8, data=1, model=8)
+    init = som.randinit(ex_dat, Topology.HEXA, Neighborhood.GAUSSIAN, 8, 8,
+                        CRandom(13))
+    tr_f = SOMTrainer(init, batch_size=128, mesh=mesh, use_pallas=True,
+                      seed=4)
+    out_f = tr_f.fit(ex_dat, rlen=1024, alpha=0.05, radius=4.0)
+    tr_u = SOMTrainer(init, batch_size=128, mesh=mesh, use_pallas=False,
+                      seed=4)
+    out_u = tr_u.fit(ex_dat, rlen=1024, alpha=0.05, radius=4.0)
+    np.testing.assert_allclose(out_f.points, out_u.points, rtol=2e-2,
+                               atol=2e-2)
+    q_f = _qerror_per_sample(out_f, ex_dat)
+    q_u = _qerror_per_sample(out_u, ex_dat)
+    assert abs(q_f - q_u) < 0.05 * q_u, (q_f, q_u)
