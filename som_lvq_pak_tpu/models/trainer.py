@@ -696,11 +696,15 @@ class LVQTrainer:
         batch_size: int = 1024,
         winlen: float = 0.3,
         epsilon: float = 0.1,
+        mesh=None,
         checkpoint_dir: Optional[str] = None,
         checkpoint_interval: int = 0,
         seed: int = 0,
         use_pallas: Optional[bool] = None,
     ):
+        """`mesh`: a (data, model) jax.sharding.Mesh runs the sharded
+        step (codebook TP + batch DP, parallel.sharded.sharded_lvq_step;
+        masks unsupported there — masked batches raise)."""
         import jax
 
         if algorithm not in ("lvq1", "lvq2", "lvq3"):
@@ -712,10 +716,18 @@ class LVQTrainer:
         self.batch_size = batch_size
         self.winlen = float(winlen)
         self.epsilon = float(epsilon)
+        self.mesh = mesh
         self.seed = seed
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"
         self.use_pallas = use_pallas
+        self._sharded = None
+        if mesh is not None:
+            from ..parallel.sharded import make_sharded_lvq_train_step
+
+            self._sharded = make_sharded_lvq_train_step(
+                mesh, algorithm=algorithm, winlen=self.winlen,
+                epsilon=self.epsilon, use_pallas=self.use_pallas)
         self.ckpt = None
         self.checkpoint_interval = checkpoint_interval
         if checkpoint_dir is not None:
@@ -750,10 +762,26 @@ class LVQTrainer:
                 start = st.step
 
         last_ckpt = start
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            M = jax.device_put(M, NamedSharding(self.mesh, P("model", None)))
         for b, xb, xl, mb in _labeled_batches(
                 data, start, nb, self.batch_size, keybox, allow_short_stream):
             a = jnp.float32(talp[b])
-            if self.algorithm == "lvq1":
+            if self.mesh is not None:
+                if mb is not None and bool(jnp.any(mb != 0)):
+                    raise ValueError(
+                        "LVQTrainer(mesh=...): masked batches are not "
+                        "supported on the sharded step")
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                M = self._sharded(
+                    M, clabels,
+                    jax.device_put(xb, NamedSharding(self.mesh, P("data", None))),
+                    jax.device_put(xl, NamedSharding(self.mesh, P("data"))),
+                    a)
+            elif self.algorithm == "lvq1":
                 M = lvq1_batch_step(M, clabels, xb, xl, a,
                                     use_pallas=self.use_pallas, mask=mb)
             else:

@@ -5,6 +5,7 @@ from .sharded import (
     make_ring_winner,
     ring_winner_search,
     make_dim_sharded_winner,
+    make_sharded_lvq_train_step,
     make_sharded_olvq1_train_step,
     make_sharded_fused_som_train_step,
     make_sharded_som_train_step,
@@ -23,6 +24,7 @@ __all__ = [
     "dim_sharded_winner_search",
     "make_sharded_fused_som_train_step",
     "make_sharded_som_train_step",
+    "make_sharded_lvq_train_step",
     "make_sharded_olvq1_train_step",
     "make_dim_sharded_winner",
     "ring_winner_search",

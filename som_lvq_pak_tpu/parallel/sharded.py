@@ -521,3 +521,116 @@ def make_sharded_fused_som_train_step(
         out_specs=(P("model", None), P()),
     )
     return jax.jit(smapped)
+
+
+# ---------------------------------------------------------------------------
+# Sharded fixed-alpha LVQ steps (lvq1 / lvq2.1 / lvq3)
+# ---------------------------------------------------------------------------
+
+def sharded_top2(xb_local, codes_local, n_local: int, use_pallas: bool = False):
+    """Inside shard_map: global top-2 (distances, global indices) for the
+    local batch shard against the model-sharded codebook.  Per shard:
+    local top-2; merge: all_gather of S (2 val, 2 gidx) candidate pairs,
+    then two selection passes (distance asc, lowest global index on
+    ties — lax.top_k's convention, matching models.fast.lvq23_batch_step's
+    host oracle).  Returns (d1, i1, d2, i2), each (Bl,)."""
+    from ..ops.distance import topk_winners
+
+    if use_pallas:
+        from ..ops.pallas_distance import dist_topk
+
+        vals, idx = dist_topk(xb_local, codes_local, 2)
+    else:
+        idx, vals = topk_winners(xb_local, codes_local, 2)
+    shard = jax.lax.axis_index("model").astype(jnp.int32)
+    gidx = idx.astype(jnp.int32) + shard * n_local
+    vs = jax.lax.all_gather(vals, "model", axis=1)   # (Bl, S, 2)
+    gs = jax.lax.all_gather(gidx, "model", axis=1)   # (Bl, S, 2)
+    Bl = vs.shape[0]
+    vs = vs.reshape(Bl, -1)                          # (Bl, 2S)
+    gs = gs.reshape(Bl, -1)
+
+    def pick(vs, gs):
+        best = jnp.min(vs, axis=1)                   # (Bl,)
+        cand = jnp.where(vs == best[:, None], gs, jnp.iinfo(jnp.int32).max)
+        bidx = jnp.min(cand, axis=1)
+        return best, bidx
+
+    d1, i1 = pick(vs, gs)
+    vs2 = jnp.where(gs == i1[:, None], jnp.inf, vs)  # drop the winner
+    d2, i2 = pick(vs2, gs)
+    return d1, i1, d2, i2
+
+
+def sharded_lvq_step(
+    codes_local, labels_full, xb_local, xlab_local, alpha,
+    algorithm: str, winlen: float, epsilon: float, use_pallas: bool = False,
+):
+    """One sharded minibatch lvq1/lvq2.1/lvq3 step (inside shard_map).
+    Update math matches models.fast.lvq1_batch_step / lvq23_batch_step;
+    each model shard applies only the updates landing on its own rows
+    (the winner's vector is read from the owning shard's local slice),
+    data-axis partials combined with one psum — the same layout as
+    sharded_olvq1_step."""
+    n_local = codes_local.shape[0]
+    shard = jax.lax.axis_index("model").astype(jnp.int32)
+    off = shard * n_local
+
+    def local_delta(gidx, coef):
+        """segment-sum coef * (x - codes[gidx]) into local rows."""
+        lidx = gidx - off
+        in_local = (lidx >= 0) & (lidx < n_local)
+        lidx_c = jnp.clip(lidx, 0, n_local - 1)
+        contrib = jnp.where(in_local, coef, 0.0)[:, None] * (
+            xb_local - codes_local[lidx_c])
+        return jax.ops.segment_sum(contrib, lidx_c, num_segments=n_local)
+
+    if algorithm == "lvq1":
+        _, gidx = sharded_winner_search(xb_local, codes_local, n_local,
+                                        use_pallas)
+        correct = labels_full[gidx] == xlab_local
+        sign = jnp.where(correct, alpha, -alpha)
+        delta = local_delta(gidx, sign)
+    else:
+        d1, i1, d2, i2 = sharded_top2(xb_local, codes_local, n_local,
+                                      use_pallas)
+        l1, l2 = labels_full[i1], labels_full[i2]
+        wl = (1.0 - winlen) / (1.0 + winlen)
+        in_window = d1 / jnp.maximum(d2, 1e-30) > wl
+        differ = l1 != l2
+        one_matches = (l1 == xlab_local) | (l2 == xlab_local)
+        window_rule = differ & one_matches & in_window
+        swap = l2 == xlab_local
+        b_idx = jnp.where(swap, i2, i1)
+        nb_idx = jnp.where(swap, i1, i2)
+        a_b = jnp.where(window_rule, alpha, 0.0)
+        delta = local_delta(b_idx, a_b) + local_delta(nb_idx, -a_b)
+        if algorithm == "lvq3":
+            same = (l1 == l2) & (l1 == xlab_local)
+            ae = jnp.where(same, alpha * epsilon, 0.0)
+            delta = delta + local_delta(i1, ae) + local_delta(i2, ae)
+    delta = jax.lax.psum(delta, "data")
+    return codes_local + delta
+
+
+def make_sharded_lvq_train_step(
+    mesh: Mesh, algorithm: str = "lvq1", winlen: float = 0.3,
+    epsilon: float = 0.1, use_pallas: bool = False,
+) -> Callable:
+    """step(codes (noc, D) P('model', None), labels (noc,) replicated,
+    xb (B, D) P('data', None), xlabels (B,) P('data'), alpha) -> codes.
+    The TP/DP layout of make_sharded_olvq1_train_step for the
+    fixed-alpha LVQ family (lvqtrain.c:214-237's lvq1/lvq2/lvq3)."""
+    if algorithm not in ("lvq1", "lvq2", "lvq3"):
+        raise ValueError(f"unknown algorithm {algorithm!r}")
+    fn = functools.partial(sharded_lvq_step, algorithm=algorithm,
+                           winlen=winlen, epsilon=epsilon,
+                           use_pallas=use_pallas)
+    smapped = jax.shard_map(
+        lambda c, l, x, xl, a: fn(c, l, x, xl, a),
+        mesh=mesh,
+        check_vma=False,
+        in_specs=(P("model", None), P(), P("data", None), P("data"), P()),
+        out_specs=P("model", None),
+    )
+    return jax.jit(smapped)

@@ -240,3 +240,40 @@ def test_sharded_fused_step_rejects_data_parallel_mesh():
     with pytest.raises(ValueError, match="data-axis size 1"):
         make_sharded_fused_som_train_step(mesh, gaussian=True, xdim=8,
                                           hexa=True)
+
+
+@pytest.mark.parametrize("algorithm", ["lvq1", "lvq2", "lvq3"])
+def test_sharded_lvq_step_matches_batch_step(mesh, algorithm):
+    """Sharded fixed-alpha LVQ steps equal the single-device batched
+    steps (models.fast.lvq1_batch_step / lvq23_batch_step)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from som_lvq_pak_tpu.models.fast import lvq1_batch_step, lvq23_batch_step
+    from som_lvq_pak_tpu.parallel.sharded import make_sharded_lvq_train_step
+
+    B, N, D = 64, 16 * 8, 16
+    k1, k2, k3, k4 = jax.random.split(jax.random.PRNGKey(21), 4)
+    codes = jax.random.normal(k1, (N, D), dtype=jnp.float32)
+    clab = jax.random.randint(k2, (N,), 1, 5)
+    xb = jax.random.normal(k3, (B, D), dtype=jnp.float32) * 2
+    xlab = jax.random.randint(k4, (B,), 1, 5)
+    alpha = jnp.float32(0.05)
+
+    if algorithm == "lvq1":
+        ref = lvq1_batch_step(codes, clab, xb, xlab, alpha, use_pallas=False)
+    else:
+        ref = lvq23_batch_step(codes, clab, xb, xlab, alpha, 0.3,
+                               epsilon=0.1, lvq3=(algorithm == "lvq3"),
+                               use_pallas=False)
+
+    step = make_sharded_lvq_train_step(mesh, algorithm=algorithm,
+                                       winlen=0.3, epsilon=0.1)
+    out = step(
+        jax.device_put(codes, NamedSharding(mesh, P("model", None))),
+        clab,
+        jax.device_put(xb, NamedSharding(mesh, P("data", None))),
+        jax.device_put(xlab, NamedSharding(mesh, P("data"))),
+        alpha,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)

@@ -381,3 +381,27 @@ def test_som_trainer_tp_mesh_fused_path(ex_dat):
     q_f = _qerror_per_sample(out_f, ex_dat)
     q_u = _qerror_per_sample(out_u, ex_dat)
     assert abs(q_f - q_u) < 0.05 * q_u, (q_f, q_u)
+
+
+def test_lvq_trainer_mesh_matches_single_device(ref_dir):
+    """LVQTrainer on the (data, model) mesh equals the single-device
+    run batch for batch (same keybox seed -> same batches)."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from som_lvq_pak_tpu.models.trainer import LVQTrainer
+    from som_lvq_pak_tpu.parallel.mesh import make_mesh
+
+    data = read_data(os.path.join(ref_dir, "ex1.dat"))
+    base = data.take(np.arange(128))  # 128 codes from the data
+    mesh = make_mesh(8)
+    for algorithm in ("lvq1", "lvq3"):
+        tr_m = LVQTrainer(base, algorithm=algorithm, batch_size=64,
+                          mesh=mesh, use_pallas=False, seed=9)
+        out_m = tr_m.fit(data, rlen=64 * 6, alpha=0.05)
+        tr_s = LVQTrainer(base, algorithm=algorithm, batch_size=64,
+                          use_pallas=False, seed=9)
+        out_s = tr_s.fit(data, rlen=64 * 6, alpha=0.05)
+        np.testing.assert_allclose(out_m.points, out_s.points,
+                                   rtol=1e-5, atol=1e-5)
