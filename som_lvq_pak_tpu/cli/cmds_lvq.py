@@ -156,11 +156,15 @@ def cmd_eveninit(scanner: ArgScanner, progname: str) -> int:
     out_code_file = scanner.get("-cout", ALWAYS)
     noc = scanner.get_int("-noc", 0, ALWAYS)
     knn = scanner.get_int("-knn", 5, OPTION)
+    # -fast (extension): device dist-matmul self-kNN for huge data files
+    # (identical tie order; f32-matmul accumulation, not byte parity)
+    mode = "fast" if scanner.get("-fast", OPTION2) is not None else "parity"
     rng, _ = get_rand(scanner)
 
     data = load_data(in_data_file, "data")
     try:
-        codes = lvq.eveninit(data, noc, knn=knn, proportional=bool(prop))
+        codes = lvq.eveninit(data, noc, knn=knn, proportional=bool(prop),
+                             mode=mode)
     except ValueError as e:
         err("Failed to initialize codes: %s" % e)
     save_codes(codes, out_code_file)
@@ -256,13 +260,14 @@ def cmd_knntest(scanner: ArgScanner, progname: str) -> int:
     in_data_file = scanner.get("-din", ALWAYS)
     in_code_file = scanner.get("-cin", ALWAYS)
     knn = scanner.get_int("-knn", 5, OPTION)
+    mode = "fast" if scanner.get("-fast", OPTION2) is not None else "parity"
 
     data = load_data(in_data_file, "data")
     codes = load_data(in_code_file, "codes")
     if data.dim != codes.dim:
         err("Data and codebook vectors have different dimensions")
 
-    _, report = ev.knn_accuracy(data, codes, knn=knn)
+    _, report = ev.knn_accuracy(data, codes, knn=knn, mode=mode)
     sys.stdout.write(report)
     return 0
 
@@ -384,12 +389,13 @@ def cmd_setlabel(scanner: ArgScanner, progname: str) -> int:
     in_code_file = scanner.get("-cin", ALWAYS)
     out_code_file = scanner.get("-cout", ALWAYS)
     knn = scanner.get_int("-knn", 5, OPTION)
+    mode = "fast" if scanner.get("-fast", OPTION2) is not None else "parity"
 
     data = load_data(in_data_file, "data")
     codes = load_data(in_code_file, "codes")
     if data.dim != codes.dim:
         err("Data and codebook vectors have different dimensions")
-    out = tools.setlabel(codes, data, knn=knn)
+    out = tools.setlabel(codes, data, knn=knn, mode=mode)
     save_codes(out, out_code_file)
     return 0
 
@@ -405,8 +411,9 @@ def cmd_elimin(scanner: ArgScanner, progname: str) -> int:
     in_data_file = scanner.get("-din", ALWAYS)
     out_code_file = scanner.get("-cout", ALWAYS)
     knn = scanner.get_int("-knn", 5, OPTION)
+    mode = "fast" if scanner.get("-fast", OPTION2) is not None else "parity"
     data = load_data(in_data_file, "data")
-    out = tools.elimin(data, knn=knn)
+    out = tools.elimin(data, knn=knn, mode=mode)
     save_codes(out, out_code_file)
     _invalidate(out_code_file)
     return 0

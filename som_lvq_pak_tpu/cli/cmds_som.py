@@ -142,6 +142,9 @@ def cmd_qerror(scanner: ArgScanner, progname: str) -> int:
     scanner.get_int("-buffer", 0, OPTION)
     radius = scanner.get_float("-radius", 1.0, OPTION)
     qmode = scanner.get_int("-qetype", 0, OPTION)
+    # -fast (extension): device evaluation with ONE host fetch —
+    # f32-matmul accumulation (quality path), not the C bit order
+    mode = "fast" if scanner.get("-fast", OPTION2) is not None else "parity"
 
     data = load_data(in_data_file, "data")
     codes = load_data(in_code_file, "codes")
@@ -149,9 +152,9 @@ def cmd_qerror(scanner: ArgScanner, progname: str) -> int:
     require_same_dim(data, codes)
 
     if qmode > 0:
-        qerror = som.find_qerror2(codes, data, radius)
+        qerror = som.find_qerror2(codes, data, radius, mode=mode)
     else:
-        qerror = som.find_qerror(codes, data)
+        qerror = som.find_qerror(codes, data, mode=mode)
     nod = data.n
     per_sample = np.float32(qerror) / np.float32(nod)
     if ifverbose(1):

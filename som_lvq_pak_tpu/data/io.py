@@ -25,7 +25,13 @@ from typing import List, Optional, TextIO, Tuple
 
 import numpy as np
 
-from ..config import masked_string
+from ..config import (
+    DEFAULT_COMPRESS_COMMAND,
+    DEFAULT_UNCOMPRESS_COMMAND,
+    compress_command,
+    masked_string,
+    uncompress_command,
+)
 from .dataset import (
     Dataset,
     Neighborhood,
@@ -40,14 +46,52 @@ from .labels import GLOBAL_LABELS, LabelTable
 _GZ_SUFFIXES = (".gz", ".z", ".Z")
 
 
+class _ProcStream:
+    """File-like wrapper over a compression subprocess stream whose
+    close() also reaps the process — the Python analogue of the
+    reference's pclose() on a popen'd (de)compress pipe
+    (fileio.c:132-161, close_file :202-231)."""
+
+    def __init__(self, proc: subprocess.Popen, stream: TextIO):
+        self._proc = proc
+        self._stream = stream
+
+    def __getattr__(self, name):
+        return getattr(self._stream, name)
+
+    def __iter__(self):
+        return iter(self._stream)
+
+    def close(self) -> None:
+        self._stream.close()
+        self._proc.wait()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
 def _open_read(name: str) -> TextIO:
     if name == "-" or name is None:
         return sys.stdin
     if name.startswith("|"):
         proc = subprocess.Popen(name[1:], shell=True, stdout=subprocess.PIPE, text=True)
-        return proc.stdout  # type: ignore[return-value]
+        return _ProcStream(proc, proc.stdout)  # type: ignore[return-value]
     if name.endswith(_GZ_SUFFIXES):
-        return _io.TextIOWrapper(gzip.open(name, "rb"))
+        # honor the configured decompress command (fileio.c:132-161;
+        # LVQSOM_UNCOMPRESS_COMMAND / -uncompress_cmd, config.h:45-50).
+        # The stock `gzip -d -c %s` on a .gz file is served by Python's
+        # gzip module (no subprocess); a custom command — or a .z/.Z
+        # file, which Python gzip cannot read — runs through a pipe
+        # exactly like the reference's popen.
+        cmd = uncompress_command()
+        if cmd == DEFAULT_UNCOMPRESS_COMMAND and name.endswith(".gz"):
+            return _io.TextIOWrapper(gzip.open(name, "rb"))
+        proc = subprocess.Popen(cmd % name, shell=True,
+                                stdout=subprocess.PIPE, text=True)
+        return _ProcStream(proc, proc.stdout)  # type: ignore[return-value]
     return open(name, "r")
 
 
@@ -56,9 +100,17 @@ def _open_write(name: str) -> TextIO:
         return sys.stdout
     if name.startswith("|"):
         proc = subprocess.Popen(name[1:], shell=True, stdin=subprocess.PIPE, text=True)
-        return proc.stdin  # type: ignore[return-value]
+        return _ProcStream(proc, proc.stdin)  # type: ignore[return-value]
     if name.endswith(_GZ_SUFFIXES):
-        return _io.TextIOWrapper(gzip.open(name, "wb"))
+        # honor the configured compress command (fileio.c:163-187): the
+        # command receives the output filename (e.g. `gzip -9 -c >%s`)
+        # and the data on its stdin.  Default command + .gz = Python gzip.
+        cmd = compress_command()
+        if cmd == DEFAULT_COMPRESS_COMMAND and name.endswith(".gz"):
+            return _io.TextIOWrapper(gzip.open(name, "wb"))
+        proc = subprocess.Popen(cmd % name, shell=True,
+                                stdin=subprocess.PIPE, text=True)
+        return _ProcStream(proc, proc.stdin)  # type: ignore[return-value]
     return open(name, "w")
 
 

@@ -103,14 +103,18 @@ def knn_accuracy(
     codes: Dataset,
     knn: int = 5,
     labels: Optional[LabelTable] = None,
+    mode: str = "parity",
 ) -> Tuple[float, str]:
-    """k-NN majority-vote accuracy (compute_knnaccuracy, knntest.c:41-157)."""
+    """k-NN majority-vote accuracy (compute_knnaccuracy, knntest.c:41-157).
+    mode='parity' = exact C accumulation order at every size; 'fast' =
+    device dist-matmul path for huge data (same tie order)."""
     table = labels if labels is not None else GLOBAL_LABELS
     if knn < 1:
         knn = 1
-    from ..ops.distance import auto_pairwise_topk
+    from ..ops.distance import pairwise_topk_mode
 
-    idx, _ = auto_pairwise_topk(data.points, codes.points, knn, data.mask)
+    idx, _ = pairwise_topk_mode(data.points, codes.points, knn, data.mask,
+                                mode=mode)
     clabels = codes.first_labels()
     neigh = clabels[idx]
     num = int(max(clabels.max(initial=0), data.first_labels().max(initial=0))) + 1

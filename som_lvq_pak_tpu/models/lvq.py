@@ -56,11 +56,13 @@ def knn_correct_mask(data: Dataset, knn: int, mode: str = "parity") -> np.ndarra
         )
         idx = np.asarray(idx)
     else:
-        # scale-aware: exact host path below the auto threshold (all
-        # goldens), device-chunked above it (identical tie order)
-        from ..ops.distance import auto_pairwise_topk
-
-        idx, _ = auto_pairwise_topk(data.points, data.points, knn, data.mask)
+        # parity: the exact host path UNCONDITIONALLY (C accumulation
+        # order at every size) — byte-for-byte eveninit/balance output
+        # must not depend on the data size.  Use mode="fast" for
+        # device-scale self-kNN (1M-vector workloads).
+        idx, _ = exact.pairwise_topk(
+            np.asarray(data.points), np.asarray(data.points), knn,
+            None if data.mask is None else np.asarray(data.mask))
     labels = data.first_labels()
     neigh_labels = labels[idx]  # (N, knn)
     num = int(labels.max()) + 1
@@ -102,10 +104,13 @@ def eveninit(
     noc: int,
     knn: int = 5,
     proportional: bool = False,
+    mode: str = "parity",
 ) -> Dataset:
     """Initial LVQ codebook: per-class quotas (even, or proportional to
     class frequency for propinit), vectors must fall inside class borders
-    (init_codes, eveninit.c:46-158)."""
+    (init_codes, eveninit.c:46-158).  mode='fast' routes the self-kNN
+    correctness sweep through the device dist-matmul path (identical tie
+    order, f32-matmul accumulation — for million-vector data)."""
     labels = data.first_labels()
     classes = Hitlist.from_labels(labels)
     nol = len(classes)
@@ -120,7 +125,7 @@ def eveninit(
         else:
             it[1] = nic
 
-    correct = knn_correct_mask(data, knn)
+    correct = knn_correct_mask(data, knn, mode=mode)
     quota_before = {lab: freq for lab, freq in classes.items()}
     picked = pick_inside_codes(classes, data, knn, correct)
 

@@ -23,15 +23,18 @@ from .lvq import class_nearest_stats, deviations
 F32 = np.float32
 
 
-def setlabel(codes: Dataset, data: Dataset, knn: int = 5) -> Dataset:
+def setlabel(codes: Dataset, data: Dataset, knn: int = 5,
+             mode: str = "parity") -> Dataset:
     """Relabel each codebook vector by kNN majority vote against the
     data (find_labels, setlabel.c:41-96 — note the codes query the data,
-    with find_winner_knn tie semantics)."""
+    with find_winner_knn tie semantics).  mode='parity' = exact C
+    accumulation order at every size; 'fast' = device path."""
     if knn < 1:
         knn = 1
-    from ..ops.distance import auto_pairwise_topk
+    from ..ops.distance import pairwise_topk_mode
 
-    idx, _ = auto_pairwise_topk(codes.points, data.points, knn, codes.mask)
+    idx, _ = pairwise_topk_mode(codes.points, data.points, knn, codes.mask,
+                                mode=mode)
     dlabels = data.first_labels()
     new_labels = np.zeros(codes.n, dtype=np.int32)
     for i in range(codes.n):
@@ -40,15 +43,18 @@ def setlabel(codes: Dataset, data: Dataset, knn: int = 5) -> Dataset:
     return replace(codes, labels=new_labels[:, None], comments=[])
 
 
-def elimin(data: Dataset, knn: int = 5) -> Dataset:
+def elimin(data: Dataset, knn: int = 5, mode: str = "parity") -> Dataset:
     """Drop data vectors misclassified by self-kNN: keep an entry only
     if strictly more of its k nearest neighbors (itself included) share
-    its label (eliminate_codes, elimin.c:51-130; knn capped at 10)."""
+    its label (eliminate_codes, elimin.c:51-130; knn capped at 10).
+    mode='parity' = exact C accumulation order at every size; 'fast' =
+    device path for huge data."""
     if knn > 10:
         knn = 10
-    from ..ops.distance import auto_pairwise_topk
+    from ..ops.distance import pairwise_topk_mode
 
-    idx, _ = auto_pairwise_topk(data.points, data.points, knn, data.mask)
+    idx, _ = pairwise_topk_mode(data.points, data.points, knn, data.mask,
+                                mode=mode)
     labels = data.first_labels()
     neigh = labels[idx]  # (N, knn)
     correct = (neigh == labels[:, None]).sum(axis=1)

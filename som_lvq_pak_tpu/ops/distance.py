@@ -171,11 +171,27 @@ def chunked_topk(
     return idx.reshape(Bp, k)[:B], val.reshape(Bp, k)[:B]
 
 
+def pairwise_topk_mode(X, codes, knn, xmask=None, mode: str = "parity"):
+    """Mode-dispatched kNN for the host tools (eveninit/setlabel/elimin/
+    knntest): mode='parity' runs ops.exact.pairwise_topk UNCONDITIONALLY
+    (C accumulation order at every size — byte-anchored output must not
+    become scale-dependent), mode='fast' routes through the scale-aware
+    auto_pairwise_topk below."""
+    import numpy as np
+
+    if mode == "fast":
+        return auto_pairwise_topk(X, codes, knn, xmask)
+    from . import exact
+
+    return exact.pairwise_topk(np.asarray(X), np.asarray(codes), knn,
+                               None if xmask is None else np.asarray(xmask))
+
+
 def auto_pairwise_topk(X, codes, knn, xmask=None):
-    """Scale-aware kNN front end for the host tools (eveninit/setlabel/
-    elimin/knntest): the NumPy exact path (ops.exact.pairwise_topk, C
-    accumulation order) below SOMVQ_AUTO_TOPK_PAIRS query*reference
-    pairs — every byte-anchored golden runs there — and the
+    """Scale-aware kNN front end for the mode='fast' host tools
+    (eveninit/setlabel/elimin/knntest): the NumPy exact path
+    (ops.exact.pairwise_topk, C accumulation order) below
+    SOMVQ_AUTO_TOPK_PAIRS query*reference pairs and the
     device-chunked dist-matmul path above it.  The device path keeps the
     reference (distance asc, index desc) tie order and precision=
     "highest" exact-f32 matmuls (test_chunked_topk_matches_exact asserts

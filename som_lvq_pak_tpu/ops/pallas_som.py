@@ -343,11 +343,15 @@ def _som_fused_step_kernel(
     hexa: bool,
     precision=None,
     noc: Optional[int] = None,
+    d_real: Optional[int] = None,
 ):
     """One grid step = one codebook tile: apply the neighborhood update
     for the whole current batch, write the updated tile, then fold the
     NEXT batch's partial distances against the *updated* tile into the
-    running argmin.  `noc` = real row count when the codebook was padded
+    running argmin.  `d_real` < D slices the winner contraction to the
+    real (pre-padding) feature count — padded lanes are zero on both
+    sides, so K=d_real halves the winner matmul's MXU cycles at D=64-in-
+    128 (same slice as the factored kernel).  `noc` = real row count when the codebook was padded
     to a tile multiple (padded rows are masked out of the winner search).  The tile is read from HBM once and written once per
     training step — versus three reads + one write for the unfused
     sequence (dist read, ||m||^2 recompute read, update read+write) —
@@ -375,8 +379,14 @@ def _som_fused_step_kernel(
         # padded codebook rows (global index >= noc) can never win
         gidx = i * tile_n + jax.lax.broadcasted_iota(jnp.int32, (tile_n, 1), 0)
         m2 = jnp.where(gidx < noc, m2, jnp.inf)
+    if d_real is not None:
+        cw = newc[:, :d_real]
+        xw = xn_ref[:, :d_real]
+    else:
+        cw = newc
+        xw = xn_ref[:]
     mx = jax.lax.dot_general(
-        newc.astype(xn_ref.dtype), xn_ref[:],
+        cw.astype(xn_ref.dtype), xw,
         (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32, precision=precision,
     )                                                    # (TN, B')
@@ -754,6 +764,7 @@ def som_fused_train_step(
             _som_fused_step_kernel,
             gaussian=gaussian, tile_n=tile_n, xdim=xdim, hexa=hexa,
             precision=precision, noc=noc if Np != noc else None,
+            d_real=d_real,
         ),
         grid=grid,
         in_specs=[
@@ -776,7 +787,7 @@ def som_fused_train_step(
             jax.ShapeDtypeStruct((1, Bn), jnp.int32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=2 * B * Np * D + 2 * Bn * Np * D,
+            flops=2 * B * Np * D + 2 * Bn * Np * (d_real or D),
             bytes_accessed=(2 * Np * D * codes.dtype.itemsize
                             + (B + Bn) * D * 4 + 2 * B * 4 + 2 * Bn * 4),
             transcendentals=B * Np if gaussian else 0,

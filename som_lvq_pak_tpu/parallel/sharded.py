@@ -633,4 +633,22 @@ def make_sharded_lvq_train_step(
         in_specs=(P("model", None), P(), P("data", None), P("data"), P()),
         out_specs=P("model", None),
     )
-    return jax.jit(smapped)
+    jitted = jax.jit(smapped)
+    if algorithm == "lvq1":
+        return jitted
+    n_shards = mesh.shape["model"]
+
+    def checked(codes, labels, xb, xlabels, alpha):
+        # lvq2/lvq3 run a per-shard local top-2 (sharded_top2): a model
+        # shard holding < 2 codebook rows cannot produce two candidates
+        # (lax.top_k(k=2) errors on the host path; the pallas path would
+        # surface padded out-of-range indices) — mirror the data-axis
+        # check in make_sharded_fused_som_train_step
+        if codes.shape[0] < 2 * n_shards:
+            raise ValueError(
+                f"sharded {algorithm}: every model shard needs >= 2 "
+                f"codebook rows for the local top-2 — got noc="
+                f"{codes.shape[0]} over {n_shards} model shards")
+        return jitted(codes, labels, xb, xlabels, alpha)
+
+    return checked

@@ -181,3 +181,42 @@ def test_vsom_fixed_points_matches_golden(golden_dir):
                     use_fixed=True)
     with open(os.path.join(golden_dir, "fix_fv.cod")) as f:
         assert _write_str(out) == f.read()
+
+
+def test_qerror2_fast_close(golden_dir, ex_dat):
+    """The device qerror2 path tracks the C parity value closely on both
+    neighborhood types (quality tolerance; parity is the bit anchor)."""
+    codes = read_data(os.path.join(golden_dir, "som_2.cod"))
+    q_par = find_qerror2(codes, ex_dat, radius=3.0, mode="parity")
+    q_fast = find_qerror2(codes, ex_dat, radius=3.0, mode="fast")
+    # parity squares the f32-rounded sqrt (vector_dist_euc) and does
+    # two-level f32 accumulation; fast sums squared distances directly
+    assert abs(q_par - q_fast) / q_par < 5e-4
+    # gaussian neighborhood variant
+    from dataclasses import replace as _replace
+
+    from som_lvq_pak_tpu.data.dataset import Neighborhood as _N
+
+    gcodes = _replace(codes, neigh=_N.GAUSSIAN)
+    qg_par = find_qerror2(gcodes, ex_dat, radius=3.0, mode="parity")
+    qg_fast = find_qerror2(gcodes, ex_dat, radius=3.0, mode="fast")
+    assert abs(qg_par - qg_fast) / qg_par < 5e-4
+
+
+def test_qerror_fast_masked_and_remainder(golden_dir, ex_dat):
+    """Fast qerror handles masked components, empty rows, and a data
+    size that is not a multiple of the chunk shape."""
+    import numpy as _np
+
+    from dataclasses import replace as _replace
+
+    codes = read_data(os.path.join(golden_dir, "som_2.cod"))
+    sub = ex_dat.take(_np.arange(1001))  # odd size -> padded last chunk
+    mask = _np.zeros((sub.n, sub.dim), _np.uint8)
+    mask[::7, 2] = 1     # scattered masked comps
+    mask[3] = 1          # an empty (all-masked) row
+    msub = _replace(sub, mask=mask)
+    q_par = find_qerror(msub, codes, mode="parity") if False else None
+    qp = find_qerror(codes, msub, mode="parity")
+    qf = find_qerror(codes, msub, mode="fast")
+    assert abs(qp - qf) / qp < 1e-4

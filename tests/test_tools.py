@@ -92,3 +92,32 @@ def test_mindist_golden(golden_dir):
     report = mindist_report(codes)
     with open(os.path.join(golden_dir, "lvq_mindist.txt")) as f:
         assert report == f.read()
+
+
+def test_parity_knn_never_routes_to_device(ref_dir, monkeypatch):
+    """mode='parity' kNN must use the exact C-order host path at EVERY
+    size — byte-anchored eveninit/setlabel/elimin/knntest output must not
+    silently change above a pair-count threshold (advisor r3, medium)."""
+    import som_lvq_pak_tpu.ops.distance as dist
+    from som_lvq_pak_tpu.models import eval as ev
+    from som_lvq_pak_tpu.models import lvq as mlvq
+    from som_lvq_pak_tpu.models import tools as mtools
+
+    def boom(*a, **k):
+        raise AssertionError("parity kNN routed through the device path")
+
+    monkeypatch.setattr(dist, "auto_pairwise_topk", boom)
+    # a threshold of 0 pairs would previously have flipped every call
+    monkeypatch.setenv("SOMVQ_AUTO_TOPK_PAIRS", "0")
+
+    data = read_data(os.path.join(ref_dir, "ex1.dat"))
+    small = data.take(np.arange(60))
+    mask = mlvq.knn_correct_mask(small, 3)
+    assert mask.shape == (60,)
+    codes = pick_codes(10, small)
+    mtools.setlabel(codes, small, knn=3)
+    mtools.elimin(small, knn=3)
+    ev.knn_accuracy(small, codes, knn=3)
+    # fast mode is the one that goes through the scale-aware router
+    with pytest.raises(AssertionError):
+        mtools.setlabel(codes, small, knn=3, mode="fast")
