@@ -53,6 +53,29 @@ def grid_sq_dists(coords: jnp.ndarray, bmu: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(d * d, axis=-1)
 
 
+def grid_sq_dists_idx(bmu: jnp.ndarray, noc: int, xdim: int,
+                      hexa: bool) -> jnp.ndarray:
+    """(B, noc) squared grid distances computed EXACTLY from flat unit
+    indices: dx from columns and 0.5-offsets, hexa dy^2 = rowdiff^2 *
+    0.75 — every term exactly representable in f32, so the bubble
+    radius comparison is exact math and agrees with the Pallas kernels'
+    identical formulation (ops.pallas_som._neighborhood_w) at exact-
+    boundary distances, where the scaled (row * sqrt075) coordinate form
+    rounds compiler-dependently."""
+    u = jnp.arange(noc, dtype=jnp.int32)
+    ucol = (u % xdim).astype(jnp.float32)[None, :]        # (1, noc)
+    urow = (u // xdim)[None, :]
+    bcol = (bmu % xdim).astype(jnp.float32)[:, None]      # (B, 1)
+    brow = (bmu // xdim)[:, None]
+    rd = (urow - brow).astype(jnp.float32)
+    if hexa:
+        dx = (ucol + 0.5 * (urow % 2).astype(jnp.float32)
+              - bcol - 0.5 * (brow % 2).astype(jnp.float32))
+        return dx * dx + (rd * rd) * 0.75
+    dx = ucol - bcol
+    return dx * dx + rd * rd
+
+
 def neighborhood_matrix(
     coords: jnp.ndarray,
     bmu: jnp.ndarray,
@@ -155,7 +178,19 @@ def som_batch_step(
         bmu, _ = find_winners(xb, codes, mask)
         if fixed_bmu is not None:
             bmu = jnp.where(fixed_bmu >= 0, fixed_bmu, bmu)
-    W = neighborhood_matrix(coords, bmu, radius, a, gaussian)  # (B, noc)
+    if xdim is not None:
+        # exact index-based grid distances: agrees with the Pallas
+        # kernels' bubble boundary decisions bit-for-bit (see
+        # grid_sq_dists_idx); coords-based fallback when the caller has
+        # only a coordinate table
+        d2 = grid_sq_dists_idx(bmu, codes.shape[0], xdim, hexa)
+        aa = a[:, None] if a.ndim == 1 else jnp.asarray(a, jnp.float32)
+        if gaussian:
+            W = aa * jnp.exp(-d2 / (2.0 * radius * radius))
+        else:
+            W = jnp.where(d2 <= radius * radius, aa, 0.0)
+    else:
+        W = neighborhood_matrix(coords, bmu, radius, a, gaussian)  # (B, noc)
     if mask is not None:
         keep = 1.0 - mask.astype(jnp.float32)
         wx = jax.lax.dot_general(

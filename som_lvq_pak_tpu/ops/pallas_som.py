@@ -68,17 +68,34 @@ def _neighborhood_w(bmu, aw, radius, base, tile_n, xdim, hexa, gaussian):
     per-sample effective alpha (carries weight= scaling, empty-sample
     zeroing, and batch padding zeros).  `base` = GLOBAL unit index of the
     tile's first row (i * tile_n, plus the shard offset when the
-    codebook is a model-axis shard of a larger map) — may be traced."""
-    bx, by = _grid_xy(bmu, xdim, hexa)                 # (1, TB)
-    # local codebook rows' coordinates from the global row index
+    codebook is a model-axis shard of a larger map) — may be traced.
+
+    The hexa y-term is computed as (row_u - row_b)^2 * 0.75 — EXACT in
+    f32 (0.75 and small integer squares are exactly representable), so
+    the bubble radius comparison d2 <= r^2 is exact math: the scaled
+    form (row * sqrt075) rounds, and whether the compiler factors
+    (ry - rb) * c decides inclusion at exact-boundary distances (e.g.
+    dy = 3*sqrt075, dx = 1.5, r = 3), making kernels disagree with each
+    other.  dx is built from columns and 0.5-offsets, exact as well."""
+    bcol = (bmu % xdim).astype(jnp.float32)            # (1, TB)
+    brow = bmu // xdim
+    # local codebook rows' grid coordinates from the global row index
     lidx = base + jax.lax.broadcasted_iota(jnp.int32, (tile_n, 1), 0)
-    lx, ly = _grid_xy(lidx, xdim, hexa)                # (TN, 1)
+    lcol = (lidx % xdim).astype(jnp.float32)           # (TN, 1)
+    lrow = lidx // xdim
 
     # W computed directly in (TN, TB) orientation: the contraction dim
     # (TB) lands on W's lanes and X's sublanes, the MXU-native layout
-    dx = lx - bx
-    dy = ly - by
-    d2 = dx * dx + dy * dy                             # (TN, TB)
+    if hexa:
+        bx = bcol + 0.5 * (brow % 2).astype(jnp.float32)
+        lx = lcol + 0.5 * (lrow % 2).astype(jnp.float32)
+        dx = lx - bx
+        rd = (lrow - brow).astype(jnp.float32)
+        d2 = dx * dx + (rd * rd) * 0.75                # (TN, TB)
+    else:
+        dx = lcol - bcol
+        rd = (lrow - brow).astype(jnp.float32)
+        d2 = dx * dx + rd * rd                         # (TN, TB)
     if gaussian:
         w = aw * jnp.exp(-d2 / (2.0 * radius * radius))
     else:
@@ -551,19 +568,19 @@ def _som_fused_factored_kernel(
     # measured SLOWER than the plain kernel; the K=rows_per_tile matmul
     # is noise next to the update contraction.
     bmu = bmu_ref[:]
-    rowb = bmu // xdim
-    by = (rowb.astype(jnp.float32) * _SQRT075 if hexa
-          else rowb.astype(jnp.float32))                  # (1, B)
+    rowb = bmu // xdim                                    # (1, B)
     r = r_ref[0, 0]
     ry = (i * rows_per_tile
-          + jax.lax.broadcasted_iota(jnp.int32, (rows_per_tile, 1), 0)
-          ).astype(jnp.float32)
-    yq = ry * _SQRT075 if hexa else ry
-    dy = yq - by                                          # (R, B)
+          + jax.lax.broadcasted_iota(jnp.int32, (rows_per_tile, 1), 0))
+    # row-difference form: dy^2 = (ry - rowb)^2 * 0.75 is EXACT in f32
+    # (see _neighborhood_w) — the scaled (row * sqrt075) subtraction
+    # rounds and makes the bubble boundary compiler-dependent
+    rd = (ry - rowb).astype(jnp.float32)                  # (R, B)
+    dy2 = (rd * rd) * 0.75 if hexa else rd * rd
     if gaussian:
-        wy_blk = jnp.exp(-(dy * dy) * (1.0 / (2.0 * r * r)))
+        wy_blk = jnp.exp(-dy2 * (1.0 / (2.0 * r * r)))
     else:
-        wy_blk = dy * dy
+        wy_blk = dy2
     if dual_parity:
         # one grid row per tile: wy_blk is (1, B) and broadcasts; the
         # x-pattern is the parity-matched half of the stacked scratch
@@ -627,10 +644,296 @@ def _som_fused_factored_kernel(
         val_ref[:] = -2.0 * val_ref[:]
 
 
+def _som_fused_factored_chunked_kernel(
+    bmu_ref,      # (1, B)    int32 BMU of the CURRENT batch
+    aw_ref,       # (1, B)    f32 per-sample effective alpha
+    x_ref,        # (B, D)    current batch
+    xn_ref,       # (B', D)   NEXT batch (winner search target)
+    codes_ref,    # (TN, D)   codebook tile (input; index clamped on the
+    #             extra stagger drain cell)
+    r_ref,        # (1, 1)    radius
+    out_ref,      # (TN, D)   updated codebook tile
+    val_ref,      # (1, B')   next batch: partial sq-dist of the winner
+    idx_ref,      # (1, B')   next batch: winner index
+    wxa_ref,      # (PAT, B)  scratch: x-axis factor (PAT = 2*TN for the
+    #             hexa one-row-per-tile case, else TN); optionally bf16
+    vmin_ref,     # (1, B')   f32 scratch: running MAX score
+    varg_ref,     # (1, B')   i32 scratch: running argmax
+    *prev_ref,    # optional (TN, D) f32 scratch: stagger's previous tile
+    gaussian: bool,
+    tile_n: int,
+    xdim: int,
+    hexa: bool,
+    d_real: Optional[int],
+    precision,
+    batch_chunk: int,
+    stagger: bool,
+    n_tiles: int,
+):
+    """Batch-chunked (and optionally staggered) separable-neighborhood
+    fused step — the large-B variant of _som_fused_factored_kernel.
+
+    The (TN, B) weight / score blocks never materialize whole: both the
+    update accumulation and the winner fold run in `batch_chunk`-lane
+    slices, so B=4096/8192 fit scoped VMEM (the r3 kernel's blocks
+    exceeded it past B=2048 — VERDICT r3 task 1a).  The per-chunk
+    running winner (max score, argmax) lives in tiny (1, B') scratch and
+    the val/idx outputs are written once at the last fold.
+
+    `stagger=True` additionally breaks the in-tile read->update->write->
+    winner dependency chain (VERDICT r3 task 1b): grid cell i interleaves,
+    chunk by chunk, tile i's update contraction with tile i-1's winner
+    contraction against the PREVIOUS updated tile (kept in scratch) —
+    two independent MXU streams per cell instead of one serial chain.
+    One extra grid cell at the end drains the last tile's winner.
+    Semantics are unchanged: the winner of batch t+1 is still computed
+    against every tile as updated by batch t.
+
+    Grid-distance terms are the exact-f32 forms of _neighborhood_w
+    (dx from columns and 0.5-offsets, dy^2 = rowdiff^2 * 0.75), so the
+    bubble boundary decision agrees with every other kernel exactly."""
+    i = pl.program_id(0)
+    rows_per_tile = tile_n // xdim
+    dual_parity = hexa and rows_per_tile == 1
+    B = x_ref.shape[0]
+    Bn = xn_ref.shape[0]
+    BC = batch_chunk
+    r = r_ref[0, 0]
+    s = 1.0 / (2.0 * r * r)
+
+    @pl.when(i == 0)
+    def _():
+        # x pattern over local rows (chunked along lanes): col = l % xdim,
+        # parity = (l//xdim) % 2 (dual_parity: two stacked parity blocks)
+        rows = 2 * tile_n if dual_parity else tile_n
+        l = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+        col = (l % xdim).astype(jnp.float32)
+        if hexa:
+            par = ((l // xdim) % 2).astype(jnp.float32)
+            xq = col + 0.5 * par
+        else:
+            xq = col
+        for c in range(B // BC):
+            sl = pl.ds(c * BC, BC)
+            bmu_c = bmu_ref[:, sl]
+            colb = (bmu_c % xdim).astype(jnp.float32)
+            if hexa:
+                bx = colb + 0.5 * ((bmu_c // xdim) % 2).astype(jnp.float32)
+            else:
+                bx = colb
+            dx = xq - bx                                  # (rows, BC)
+            dx2 = dx * dx
+            if gaussian:
+                wxa_ref[:, sl] = (aw_ref[:, sl] * jnp.exp(-dx2 * s)
+                                  ).astype(wxa_ref.dtype)
+            else:
+                wxa_ref[:, sl] = dx2.astype(wxa_ref.dtype)
+
+    def update_chunk(c, acc, wsum):
+        """One batch chunk of tile i's neighborhood accumulation."""
+        sl = pl.ds(c * BC, BC)
+        bmu_c = bmu_ref[:, sl]
+        rowb = bmu_c // xdim                              # (1, BC)
+        ry = (i * rows_per_tile
+              + jax.lax.broadcasted_iota(jnp.int32, (rows_per_tile, 1), 0))
+        rd = (ry - rowb).astype(jnp.float32)              # (R, BC)
+        dy2 = (rd * rd) * 0.75 if hexa else rd * rd
+        if gaussian:
+            wy_blk = jnp.exp(-dy2 * s)
+        else:
+            wy_blk = dy2
+        if dual_parity:
+            wxa = wxa_ref[pl.ds((i % 2) * tile_n, tile_n), sl]
+            wy_exp = wy_blk                               # (1, BC)
+        else:
+            wxa = wxa_ref[:, sl]
+            t_row = jax.lax.broadcasted_iota(
+                jnp.int32, (tile_n, rows_per_tile), 0) // xdim
+            r_row = jax.lax.broadcasted_iota(
+                jnp.int32, (tile_n, rows_per_tile), 1)
+            expand = (t_row == r_row).astype(jnp.float32)  # (TN, R)
+            wy_exp = jax.lax.dot_general(
+                expand, wy_blk, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)       # (TN, BC)
+        if gaussian:
+            w = wxa.astype(jnp.float32) * wy_exp
+        else:
+            w = jnp.where(wxa.astype(jnp.float32) + wy_exp <= r * r,
+                          aw_ref[:, sl], 0.0)
+        # bf16 batches (the B=8192 VMEM regime): the MXU contraction runs
+        # bf16 x bf16 -> f32; wsum stays f32 (w is exact there)
+        acc = acc + jax.lax.dot_general(
+            w.astype(x_ref.dtype), x_ref[sl, :], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)           # (TN, D)
+        wsum = wsum + jnp.sum(w, axis=1)[:, None]
+        return acc, wsum
+
+    def winner_chunk(c, j, cw, m2h):
+        """One batch chunk of the winner fold against updated tile j."""
+        sl = pl.ds(c * BC, BC)
+        xw = (xn_ref[sl, :d_real] if d_real is not None
+              else xn_ref[sl, :])
+        mx = jax.lax.dot_general(
+            cw, xw, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
+        )                                                 # (TN, BC)
+        s_t = mx - m2h
+        lm = jnp.max(s_t, axis=0, keepdims=True)          # (1, BC)
+        la = jnp.argmax(s_t, axis=0)[None, :] + j * tile_n
+
+        @pl.when(j == 0)
+        def _():
+            vmin_ref[:, sl] = lm
+            varg_ref[:, sl] = la
+
+        @pl.when(j > 0)
+        def _():
+            better = lm > vmin_ref[:, sl]
+            varg_ref[:, sl] = jnp.where(better, la, varg_ref[:, sl])
+            vmin_ref[:, sl] = jnp.where(better, lm, vmin_ref[:, sl])
+
+    def finish_update(acc, wsum):
+        newc = _guarded_blend(codes_ref[:].astype(jnp.float32), acc, wsum)
+        out_ref[:] = newc.astype(out_ref.dtype)
+        return newc
+
+    def winner_prep(newc):
+        m2h = 0.5 * jnp.sum(newc * newc, axis=1, keepdims=True)  # (TN, 1)
+        cw = (newc[:, :d_real] if d_real is not None else newc
+              ).astype(xn_ref.dtype)
+        return cw, m2h
+
+    def flush_outputs(j):
+        @pl.when(j == n_tiles - 1)
+        def _():
+            # public contract: val = partial sq-dist ||m||^2 - 2 x.m
+            val_ref[:] = -2.0 * vmin_ref[:]
+            idx_ref[:] = varg_ref[:]
+
+    zero_acc = jnp.zeros((tile_n, x_ref.shape[1]), jnp.float32)
+    zero_w = jnp.zeros((tile_n, 1), jnp.float32)
+
+    if not stagger:
+        acc, wsum = zero_acc, zero_w
+        for c in range(B // BC):
+            acc, wsum = update_chunk(c, acc, wsum)
+        newc = finish_update(acc, wsum)
+        cw, m2h = winner_prep(newc)
+        for c in range(Bn // BC):
+            winner_chunk(c, i, cw, m2h)
+        flush_outputs(i)
+        return
+
+    prev = prev_ref[0]
+
+    @pl.when(i == 0)
+    def _():
+        acc, wsum = zero_acc, zero_w
+        for c in range(B // BC):
+            acc, wsum = update_chunk(c, acc, wsum)
+        prev[:] = finish_update(acc, wsum)
+
+    @pl.when((i > 0) & (i < n_tiles))
+    def _():
+        # interleave tile i's update chunks with tile i-1's winner
+        # chunks: adjacent independent MXU contractions, so the VPU
+        # weight-gen / fold work of one stream can hide under the other
+        # stream's matmul instead of serializing the whole cell
+        cw, m2h = winner_prep(prev[:])
+        acc, wsum = zero_acc, zero_w
+        for c in range(max(B, Bn) // BC):
+            if c < B // BC:
+                acc, wsum = update_chunk(c, acc, wsum)
+            if c < Bn // BC:
+                winner_chunk(c, i - 1, cw, m2h)
+        prev[:] = finish_update(acc, wsum)
+
+    @pl.when(i == n_tiles)
+    def _():
+        # drain: the last tile's winner fold
+        cw, m2h = winner_prep(prev[:])
+        for c in range(Bn // BC):
+            winner_chunk(c, n_tiles - 1, cw, m2h)
+        flush_outputs(n_tiles - 1)
+
+
+def _fused_factored_chunked_call(
+    codes, xb, bp, awp, xb_next, rr, *, xdim, hexa, gaussian, tile_n,
+    d_real, precision, batch_chunk, stagger, wxa_bf16, interpret,
+):
+    """pallas_call plumbing for _som_fused_factored_chunked_kernel."""
+    noc, D = codes.shape
+    B = xb.shape[0]
+    Bn = xb_next.shape[0]
+    BC = batch_chunk if batch_chunk is not None else math.gcd(B, Bn)
+    if B % BC or Bn % BC or BC % 128:
+        raise ValueError(
+            f"som_fused_train_step: batch_chunk={BC} must divide B={B} "
+            f"and B'={Bn} and be a multiple of 128")
+    n_tiles = noc // tile_n
+    dual = hexa and tile_n == xdim
+    pat_rows = 2 * tile_n if dual else tile_n
+    # bubble's threshold compare needs the exact f32 dx^2 pattern — bf16
+    # mantissa would wobble the boundary; the bf16 option only ever pays
+    # off for gaussian (where wxa holds tiny smooth weights) anyway
+    wxa_bf16 = wxa_bf16 and gaussian
+    grid = (n_tiles + (1 if stagger else 0),)
+    if stagger:
+        def cix(i):
+            return (jnp.minimum(i, n_tiles - 1), 0)
+    else:
+        def cix(i):
+            return (i, 0)
+    scratch = [
+        pltpu.VMEM((pat_rows, B), jnp.bfloat16 if wxa_bf16 else jnp.float32),
+        pltpu.VMEM((1, Bn), jnp.float32),
+        pltpu.VMEM((1, Bn), jnp.int32),
+    ]
+    if stagger:
+        scratch.append(pltpu.VMEM((tile_n, D), jnp.float32))
+    codes_new, val, idx = pl.pallas_call(
+        functools.partial(
+            _som_fused_factored_chunked_kernel,
+            gaussian=gaussian, tile_n=tile_n, xdim=xdim, hexa=hexa,
+            d_real=d_real, precision=precision, batch_chunk=BC,
+            stagger=stagger, n_tiles=n_tiles,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, B), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bn, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, D), cix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile_n, D), cix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Bn), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Bn), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((noc, D), codes.dtype),
+            jax.ShapeDtypeStruct((1, Bn), jnp.float32),
+            jax.ShapeDtypeStruct((1, Bn), jnp.int32),
+        ],
+        scratch_shapes=scratch,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * noc * D + 2 * Bn * noc * (d_real or D),
+            bytes_accessed=(2 * noc * D * codes.dtype.itemsize
+                            + (B + Bn) * D * 4 + 2 * B * 4 + 2 * Bn * 4),
+            transcendentals=(tile_n + noc // xdim) * B if gaussian else 0,
+        ),
+        interpret=interpret,
+    )(bp, awp, xb, xb_next, codes, rr)
+    return codes_new, idx[0, :], val[0, :]
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("xdim", "hexa", "gaussian", "tile_n", "interpret",
-                     "precision", "factored", "d_real"),
+                     "precision", "factored", "d_real", "batch_chunk",
+                     "stagger", "wxa_bf16", "batch_bf16"),
 )
 def som_fused_train_step(
     codes: jnp.ndarray,     # (noc, D) — keep D lane-padded (mult of 128)
@@ -651,6 +954,20 @@ def som_fused_train_step(
     #                       `codes` is a model-axis shard of a larger map
     #                       (grid geometry and the BMU contract stay
     #                       global; returned winner indices stay LOCAL)
+    batch_chunk: Optional[int] = None,  # factored path: process the batch
+    #                       in lane-chunks of this size so the (TN, B)
+    #                       weight/score blocks never materialize whole —
+    #                       unlocks B >= 4096 under the VMEM limit
+    stagger: bool = False,  # factored path: interleave tile i's update
+    #                       with tile i-1's winner (breaks the in-tile
+    #                       update->winner dependency chain)
+    wxa_bf16: bool = False,  # factored path: keep the x-pattern scratch
+    #                       in bfloat16 (halves its VMEM at large B;
+    #                       gaussian only — bubble keeps exact f32)
+    batch_bf16: bool = False,  # factored chunked path: hold the batch
+    #                       blocks in bfloat16 (halves their VMEM; the
+    #                       MXU truncates f32 inputs at default
+    #                       precision anyway — required at B=8192)
 ):
     """One fused SOM training step at the HBM roofline.
 
@@ -705,6 +1022,15 @@ def som_fused_train_step(
         aw = jnp.broadcast_to(jnp.asarray(alpha, dtype=jnp.float32), (B,))
         awp = jnp.reshape(aw, (1, B))
         rr = jnp.asarray([[radius]], dtype=jnp.float32)
+        if (batch_chunk is not None or stagger or wxa_bf16 or batch_bf16):
+            if batch_bf16:
+                xb = xb.astype(jnp.bfloat16)
+                xb_next = xb_next.astype(jnp.bfloat16)
+            return _fused_factored_chunked_call(
+                codes, xb, bp, awp, xb_next, rr, xdim=xdim, hexa=hexa,
+                gaussian=gaussian, tile_n=tile_n, d_real=d_real,
+                precision=precision, batch_chunk=batch_chunk,
+                stagger=stagger, wxa_bf16=wxa_bf16, interpret=interpret)
         codes_new, val, idx = pl.pallas_call(
             functools.partial(
                 _som_fused_factored_kernel,

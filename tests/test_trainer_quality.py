@@ -401,3 +401,50 @@ def test_vmem_grouped_trainer_matches_stepwise(ex_dat):
         ex_dat, rlen=40 * 64, alpha=0.05, radius=4.0)
     np.testing.assert_allclose(out_v.points, out_s.points,
                                rtol=1e-5, atol=1e-5)
+
+
+def test_fused_chunked_stagger_kernel_matches_factored():
+    """The batch-chunked (and staggered) large-B kernel must reproduce
+    the factored kernel: codes to float rounding, winner indices
+    exactly, val contract — across {chunked, stagger} combos,
+    dual-parity and multi-row tiles, gaussian and bubble.  Bubble is the
+    sharp case: its radius compare is exact-f32 grid algebra (rowdiff^2
+    * 0.75), so inclusion at exact-boundary distances cannot depend on
+    which kernel (or compiler rewrite) computed it."""
+    from som_lvq_pak_tpu.ops.pallas_distance import dist_argmin
+    from som_lvq_pak_tpu.ops.pallas_som import som_fused_train_step
+
+    for xdim, ydim, hexa, gaussian, d_real, tn_mult, bc, stag in (
+        (16, 8, True, True, None, 2, 128, False),   # chunked only
+        (16, 8, True, True, None, 2, 256, True),    # chunk == B + stagger
+        (16, 8, True, True, 64, 1, 128, True),      # dual-parity stagger
+        (16, 12, False, True, 64, 2, 128, True),    # rect
+        (16, 8, True, False, None, 1, 128, True),   # bubble dual-parity
+        (16, 8, True, False, None, 2, 128, False),  # bubble multi-row
+    ):
+        noc = xdim * ydim
+        k1, k2, k3 = jax.random.split(jax.random.PRNGKey(noc + xdim + bc), 3)
+        codes = jax.random.normal(k1, (noc, 128), dtype=jnp.float32)
+        xb = jax.random.normal(k2, (256, 128), dtype=jnp.float32)
+        xn = jax.random.normal(k3, (256, 128), dtype=jnp.float32)
+        if d_real is not None:
+            codes = codes.at[:, d_real:].set(0.0)
+            xb = xb.at[:, d_real:].set(0.0)
+            xn = xn.at[:, d_real:].set(0.0)
+        _, bmu = dist_argmin(xb, codes, tile_b=64, tile_n=128)
+        tn = tn_mult * xdim
+        c0, i0, v0 = som_fused_train_step(
+            codes, xb, bmu, xn, xdim, hexa, 0.05, 3.0,
+            gaussian=gaussian, tile_n=tn, factored=True, d_real=d_real)
+        c1, i1, v1 = som_fused_train_step(
+            codes, xb, bmu, xn, xdim, hexa, 0.05, 3.0,
+            gaussian=gaussian, tile_n=tn, factored=True, d_real=d_real,
+            batch_chunk=bc, stagger=stag)
+        np.testing.assert_allclose(np.asarray(c1), np.asarray(c0),
+                                   rtol=1e-5, atol=1e-5)
+        # a handful of winner flips between exactly-tied scores can
+        # arise from the chunked accumulation's different f32 sum order
+        agree = (np.asarray(i1) == np.asarray(i0)).mean()
+        assert agree >= 0.995, (agree, xdim, ydim, gaussian, bc, stag)
+        np.testing.assert_allclose(np.asarray(v1), np.asarray(v0),
+                                   rtol=1e-4, atol=1e-4)

@@ -96,6 +96,35 @@ def main():
 
     case("som_fused_train_step[dual_parity,B2048,tile256]", dual_parity)
 
+    # --- batch-chunked / staggered factored kernel: the large-B (4096/
+    # 8192) geometries whose (TN, B) blocks exceed scoped VMEM without
+    # chunking, plus the stagger drain-cell path and the bf16 x-pattern
+    def chunked(B, tile_n, bc, stag, bf16, bbf16=False):
+        codes = jax.random.normal(k1, (65536, 128), jnp.float32)
+        xb = jax.random.normal(k2, (B, 128), jnp.float32)
+        _, bmu0 = dist_argmin(xb, codes)
+        c2, bmu, _ = som_fused_train_step(
+            codes, xb, bmu0, xb, 256, True, jnp.float32(0.02),
+            jnp.float32(3.0), gaussian=True, tile_n=tile_n, factored=True,
+            d_real=64, batch_chunk=bc, stagger=stag, wxa_bf16=bf16,
+            batch_bf16=bbf16)
+        assert np.isfinite(np.asarray(c2, dtype=np.float32)).all()
+        b = np.asarray(bmu)
+        assert (b >= 0).all() and (b < 65536).all()
+
+    case("som_fused_chunked[B2048,tile256,bc2048,stagger]",
+         lambda: chunked(2048, 256, 2048, True, False))
+    case("som_fused_chunked[B4096,tile256,bc1024]",
+         lambda: chunked(4096, 256, 1024, False, True))
+    case("som_fused_chunked[B4096,tile256,bc1024,stagger]",
+         lambda: chunked(4096, 256, 1024, True, True))
+    case("som_fused_chunked[B4096,tile512,bc1024,stagger]",
+         lambda: chunked(4096, 512, 1024, True, True))
+    case("som_fused_chunked[B8192,tile256,bc1024,stagger,bf16]",
+         lambda: chunked(8192, 256, 1024, True, True, True))
+    case("som_fused_chunked[B8192,tile512,bc1024,stagger,bf16]",
+         lambda: chunked(8192, 512, 1024, True, True, True))
+
     # --- fused TP step (shard_map + pallas with a traced unit offset)
     def fused_tp():
         from jax.sharding import NamedSharding, PartitionSpec as P
