@@ -87,7 +87,16 @@ def cmd_lvqtrain(scanner: ArgScanner, progname: str) -> int:
         alpha = scanner.get_float("-alpha", 0.0, ALWAYS)
         winlen = epsilon = None
 
-    data = load_data(in_data_file, "data")
+    if buffer > 0:
+        # bounded memory at ~buffer entries like the reference loader
+        # (LOADMODE_BUFFER, datafile.c:237-344): the trainers stream the
+        # file refill-by-refill; order (and output) identical to full
+        # loading with the same -buffer
+        from ..data.streaming import StreamingReader
+
+        data = StreamingReader(in_data_file, buffer)
+    else:
+        data = load_data(in_data_file, "data")
     codes = load_data(in_code_file, "codes")
     require_same_dim(data, codes)
 
@@ -205,10 +214,15 @@ def cmd_accuracy(scanner: ArgScanner, progname: str) -> int:
     selfuncs(scanner)
     in_data_file = scanner.get("-din", ALWAYS)
     in_code_file = scanner.get("-cin", ALWAYS)
-    scanner.get_int("-buffer", 0, OPTION)
+    buffer = scanner.get_int("-buffer", 0, OPTION)
     cfout = scanner.get("-cfout", OPTION)
 
-    data = load_data(in_data_file, "data")
+    if buffer > 0:
+        from ..data.streaming import StreamingReader
+
+        data = StreamingReader(in_data_file, buffer)
+    else:
+        data = load_data(in_data_file, "data")
     codes = load_data(in_code_file, "codes")
     if data.dim != codes.dim:
         err("Data and codebook vectors have different dimensions")

@@ -104,7 +104,15 @@ def cmd_vsom(scanner: ArgScanner, progname: str) -> int:
     alpha_type = get_alpha_type(scanner)
     snapshot = get_snapshot_opts(scanner, out_code_file, rlen)
 
-    data = load_data(in_data_file, "data")
+    if buffer > 0:
+        # bounded memory at ~buffer entries (LOADMODE_BUFFER,
+        # datafile.c:237-344): som_train streams refill-by-refill;
+        # order and output identical to full loading at equal -buffer
+        from ..data.streaming import StreamingReader
+
+        data = StreamingReader(in_data_file, buffer)
+    else:
+        data = load_data(in_data_file, "data")
     codes = load_data(in_code_file, "codes")
     require_map(codes, in_code_file)
     require_same_dim(data, codes)
@@ -139,14 +147,19 @@ def cmd_qerror(scanner: ArgScanner, progname: str) -> int:
     selfuncs(scanner)
     in_data_file = scanner.get("-din", ALWAYS)
     in_code_file = scanner.get("-cin", ALWAYS)
-    scanner.get_int("-buffer", 0, OPTION)
+    buffer = scanner.get_int("-buffer", 0, OPTION)
     radius = scanner.get_float("-radius", 1.0, OPTION)
     qmode = scanner.get_int("-qetype", 0, OPTION)
     # -fast (extension): device evaluation with ONE host fetch —
     # f32-matmul accumulation (quality path), not the C bit order
     mode = "fast" if scanner.get("-fast", OPTION2) is not None else "parity"
 
-    data = load_data(in_data_file, "data")
+    if buffer > 0:
+        from ..data.streaming import StreamingReader
+
+        data = StreamingReader(in_data_file, buffer)
+    else:
+        data = load_data(in_data_file, "data")
     codes = load_data(in_code_file, "codes")
     require_map(codes, in_code_file)
     require_same_dim(data, codes)
@@ -155,7 +168,11 @@ def cmd_qerror(scanner: ArgScanner, progname: str) -> int:
         qerror = som.find_qerror2(codes, data, radius, mode=mode)
     else:
         qerror = som.find_qerror(codes, data, mode=mode)
-    nod = data.n
+    if buffer > 0:
+        # sample count comes from the stream (empties already skipped)
+        nod = sum(c.n for c in data.chunks(laps=1))
+    else:
+        nod = data.n
     per_sample = np.float32(qerror) / np.float32(nod)
     if ifverbose(1):
         sys.stdout.write(

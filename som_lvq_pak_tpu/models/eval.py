@@ -50,18 +50,36 @@ def accuracy(
     """1-NN recognition accuracy (compute_accuracy, accuracy.c:39-137).
 
     Returns (total_percent, report_text, per_sample_correct uint8) —
-    the last is the -cfout stream ('1'/'0' per sample)."""
+    the last is the -cfout stream ('1'/'0' per sample).
+
+    `data` may be a data.streaming.StreamingReader: evaluation then runs
+    chunk-by-chunk with bounded memory (the reference's buffered eval,
+    accuracy.c over LOADMODE_BUFFER), identical tallies and report."""
     table = labels if labels is not None else GLOBAL_LABELS
-    dlabels = data.first_labels()
-    wlabels = _winner_labels(data, codes, parity)
-    ok = (wlabels == dlabels).astype(np.uint8)
+    if hasattr(data, "_chunks_one_lap"):  # StreamingReader
+        parts_lab: List[np.ndarray] = []
+        parts_ok: List[np.ndarray] = []
+        for chunk in data.chunks(laps=1):
+            cl = chunk.first_labels()
+            wl = _winner_labels(chunk, codes, parity)
+            parts_lab.append(cl)
+            parts_ok.append((wl == cl).astype(np.uint8))
+        dlabels = (np.concatenate(parts_lab) if parts_lab
+                   else np.zeros((0,), np.int32))
+        ok = (np.concatenate(parts_ok) if parts_ok
+              else np.zeros((0,), np.uint8))
+        total = int(dlabels.shape[0])
+    else:
+        dlabels = data.first_labels()
+        wlabels = _winner_labels(data, codes, parity)
+        ok = (wlabels == dlabels).astype(np.uint8)
+        total = data.n
 
     correct, totals = Hitlist(), Hitlist()
     for lab, o in zip(dlabels.tolist(), ok.tolist()):
         if o:
             correct.add_hit(lab)
         totals.add_hit(lab)
-    total = data.n
     stotal = int(ok.sum())
 
     lines = ["", "Recognition accuracy:", ""]

@@ -347,9 +347,21 @@ def lvq1_train(
 ) -> Dataset:
     """lvq1: move the 1-NN winner toward (label match) or away
     (lvq1_training, lvq_rout.c:498-577).  `snapshot`: interval hook
-    (lvq_rout.c:559-567)."""
-    order = _train_setup(codes, data, rlen, random_order, rng, buffer)
+    (lvq_rout.c:559-567).  `data` may be a data.streaming.StreamingReader
+    for bounded-memory training over huge files (parity mode; order
+    identical to the full-load buffered path)."""
     talpha = alpha_schedule(rlen, alpha, alpha_type)
+    if hasattr(data, "_chunks_one_lap"):  # StreamingReader
+        def body(pts, clabels, le, chunk, s, dlab):
+            x = chunk.points[s]
+            xm = chunk.mask[s] if chunk.mask is not None else None
+            w, _ = exact.find_winner_euc(x, pts, xm)
+            a = talpha[le] if clabels[w] == dlab[s] else F32(-talpha[le])
+            pts[w] = exact.adapt_vector(pts[w], x, a, xm)
+
+        return _lvq_train_streamed(codes, data, rlen, random_order, rng,
+                                   mode, body, snapshot, progress)
+    order = _train_setup(codes, data, rlen, random_order, rng, buffer)
     if mode == "fast":
         return _lvq1_fast(codes, data, order, talpha)
     pts = codes.points.copy()
@@ -365,6 +377,41 @@ def lvq1_train(
         a = talpha[le] if clabels[w] == dlabels[s] else F32(-talpha[le])
         pts[w] = exact.adapt_vector(pts[w], x, a, xm)
         _maybe_snapshot(snapshot, le, codes, pts)
+    if progress is not None:
+        progress(0)
+    return replace(codes, points=pts, comments=[])
+
+
+def _lvq_train_streamed(codes, reader, rlen, random_order, rng, mode,
+                        body, snapshot, progress):
+    """Shared bounded-memory parity driver for the LVQ trainers over a
+    StreamingReader (reference: training loops lvq_rout.c:498-916 over
+    LOADMODE_BUFFER refills, datafile.c:237-344).  `body(pts, clabels,
+    le, chunk, s)` mutates pts in place for one sample; sample order is
+    index-identical to sample_order(..., buffer=B), so results are
+    bit-equal to the full-load path."""
+    if mode != "parity":
+        raise ValueError(
+            "streamed LVQ training is the bounded-memory parity path; "
+            "for fast device training use LVQTrainer over chunk streams")
+    if codes.dim != reader.dim:
+        raise ValueError("data and codebook dimensions differ")
+    from ..data.streaming import streamed_samples
+
+    pts = codes.points.copy()
+    clabels = codes.first_labels().copy()
+    le = 0
+    cur = None
+    dlab = None
+    for chunk, s in streamed_samples(reader, rlen, random_order, rng):
+        if chunk is not cur:  # per-refill label gather, not per-sample
+            cur = chunk
+            dlab = chunk.first_labels()
+        if progress is not None:
+            progress(rlen - le)
+        body(pts, clabels, le, chunk, s, dlab)
+        _maybe_snapshot(snapshot, le, codes, pts)
+        le += 1
     if progress is not None:
         progress(0)
     return replace(codes, points=pts, comments=[])
@@ -397,7 +444,9 @@ def olvq1_train(
     codes read heap garbage (zero/denormal) as their learning rate and
     are effectively frozen (balance.c:187, lvq_rout.c:614).
     """
-    order = _train_setup(codes, data, rlen, random_order, rng, buffer)
+    streamed = hasattr(data, "_chunks_one_lap")  # StreamingReader
+    if not streamed:
+        order = _train_setup(codes, data, rlen, random_order, rng, buffer)
     if alpha == 0.0:
         if init_alphas is not None:
             # NOTE reference quirk (lvq_rout.c:666-672): when resuming
@@ -415,6 +464,27 @@ def olvq1_train(
         clip = F32(alpha)
     if n_active is None:
         n_active = codes.n
+    if streamed:
+        def body(pts, clabels, le, chunk, s, dlab):
+            x = chunk.points[s]
+            xm = chunk.mask[s] if chunk.mask is not None else None
+            w, _ = exact.find_winner_euc(x, pts, xm)
+            if w >= n_active:
+                return
+            a = talpha[w]
+            if clabels[w] == dlab[s]:
+                pts[w] = exact.adapt_vector(pts[w], x, a, xm)
+                talpha[w] = F32(a / F32(1.0 + a))
+            else:
+                pts[w] = exact.adapt_vector(pts[w], x, F32(-a), xm)
+                na = F32(a / F32(1.0 - a))
+                talpha[w] = min(na, clip)
+
+        out = _lvq_train_streamed(codes, data, rlen, random_order, rng,
+                                  mode, body, snapshot, progress)
+        if return_alphas:
+            return out, talpha
+        return out
     if mode == "fast":
         out, talpha = _olvq1_fast(codes, data, order, talpha, clip, n_active)
     else:
@@ -463,14 +533,38 @@ def _lvq23_train(
     mode: str = "parity",
 ) -> Dataset:
     """Shared lvq2.1/lvq3 loop (lvq_rout.c:702-916). epsilon=None → lvq2."""
-    order = _train_setup(codes, data, rlen, random_order, rng, buffer)
     talpha = alpha_schedule(rlen, alpha, alpha_type)
+    # C: (1-winlen)/(1+winlen) in float
+    wl = F32(F32(1.0 - F32(winlen)) / F32(1.0 + F32(winlen)))
+    if hasattr(data, "_chunks_one_lap"):  # StreamingReader
+        def body(pts, clabels, le, chunk, s, dlab):
+            x = chunk.points[s]
+            xm = chunk.mask[s] if chunk.mask is not None else None
+            win_idx, win_d = exact.find_winner_knn(x, pts, 2, xm)
+            b, nb = int(win_idx[0]), int(win_idx[1])
+            ds_, nds = F32(win_d[0]), F32(win_d[1])
+            lab, nlab, dlab_s = clabels[b], clabels[nb], dlab[s]
+            a = talpha[le]
+            if lab != nlab:
+                if lab == dlab_s or nlab == dlab_s:
+                    if F32(ds_ / nds) > wl:
+                        if nlab == dlab_s:
+                            b, nb = nb, b
+                        pts[b] = exact.adapt_vector(pts[b], x, a, xm)
+                        pts[nb] = exact.adapt_vector(pts[nb], x, F32(-a), xm)
+            elif epsilon is not None:
+                if lab == dlab_s:
+                    ae = F32(a * F32(epsilon))
+                    pts[b] = exact.adapt_vector(pts[b], x, ae, xm)
+                    pts[nb] = exact.adapt_vector(pts[nb], x, ae, xm)
+
+        return _lvq_train_streamed(codes, data, rlen, random_order, rng,
+                                   mode, body, snapshot, progress)
+    order = _train_setup(codes, data, rlen, random_order, rng, buffer)
     if mode == "fast":
         return _lvq23_fast(codes, data, order, talpha, winlen, epsilon)
     if mode != "parity":
         raise ValueError(f"unknown mode {mode!r} (parity|fast)")
-    # C: (1-winlen)/(1+winlen) in float
-    wl = F32(F32(1.0 - F32(winlen)) / F32(1.0 + F32(winlen)))
     pts = codes.points.copy()
     clabels = codes.first_labels()
     dlabels = data.first_labels()

@@ -225,6 +225,10 @@ def som_train(
     """
     if not codes.is_map:
         raise ValueError("som_train: codebook is not a map (topol < hexa)")
+    if hasattr(data, "_chunks_one_lap"):  # a data.streaming.StreamingReader
+        return _som_train_streamed(
+            codes, data, rlen, alpha, radius, alpha_type, random_order,
+            rng, use_weights, use_fixed, mode, snapshot, progress)
     if codes.dim != data.dim:
         raise ValueError("code dimension != data dimension")
     order = sample_order(data.n, rlen, random_order, rng, buffer=buffer)
@@ -258,6 +262,72 @@ def som_train(
     else:
         raise ValueError(f"unknown mode {mode!r}")
     return replace(codes, points=new_pts, comments=[])
+
+
+def _som_train_streamed(codes, reader, rlen, alpha, radius, alpha_type,
+                        random_order, rng, use_weights, use_fixed, mode,
+                        snapshot, progress):
+    """Bounded-memory SOM training over a StreamingReader: the
+    reference's buffered training loop (som_rout.c:556-671 over
+    LOADMODE_BUFFER refills, datafile.c:237-344) — memory stays at
+    ~buffer entries however large the file, and the sample order is
+    index-identical to the full-load path's sample_order(...,
+    buffer=B), so results are bit-equal to som_train(data, ...,
+    buffer=B) (parity mode; the C package byte-contract)."""
+    if mode != "parity":
+        raise ValueError(
+            "streamed som_train is the bounded-memory parity path; for "
+            "fast device training over a stream use SOMTrainer.fit("
+            "reader.chunks(laps=None), ...)")
+    if codes.dim != reader.dim:
+        raise ValueError("code dimension != data dimension")
+    from ..data.streaming import streamed_samples
+
+    talp_all = alpha_schedule(rlen, alpha, alpha_type)
+    trad = radius_schedule(rlen, radius)
+    gd = grid_distance_matrix(Topology(codes.topol), codes.xdim, codes.ydim)
+    gaussian = codes.neigh == Neighborhood.GAUSSIAN
+    pts = codes.points.copy()
+    le = 0
+    for chunk, s in streamed_samples(reader, rlen, random_order, rng):
+        if progress is not None:
+            progress(rlen - le)
+        x = chunk.points[s]
+        xm = chunk.mask[s] if chunk.mask is not None else None
+        a = talp_all[le]
+        if use_weights and chunk.weight is not None:
+            a = effective_alpha(np.asarray([a]), chunk.weight[s : s + 1],
+                                True)[0]
+        r = trad[le]
+        bmu = -1
+        if use_fixed and chunk.fixed is not None:
+            fx, fy = int(chunk.fixed[s, 0]), int(chunk.fixed[s, 1])
+            if fx >= 0 and fy >= 0:
+                bmu = fy * codes.xdim + fx
+        if bmu < 0:
+            bmu, _ = exact.find_winner_euc(x, pts, xm)
+        if bmu < 0:  # empty (all-masked) sample: skip teaching
+            _maybe_snapshot(snapshot, le, pts, codes)
+            le += 1
+            continue
+        d = gd[bmu]
+        if gaussian:
+            num = -(d * d)  # float32
+            den = (2.0 * np.float64(r)) * np.float64(r)
+            alp = (F32(a) * np.exp(num.astype(np.float64) / den).astype(F32)
+                   ).astype(F32)
+            upd = pts + alp[:, None] * (x - pts)
+        else:
+            sel = d <= r
+            upd = np.where(sel[:, None], pts + F32(a) * (x - pts), pts)
+        if xm is not None:
+            upd = np.where(xm[None, :] != 0, pts, upd)
+        pts = upd.astype(F32)
+        _maybe_snapshot(snapshot, le, pts, codes)
+        le += 1
+    if progress is not None:
+        progress(0)
+    return replace(codes, points=pts, comments=[])
 
 
 def _som_loop_parity(
@@ -355,16 +425,42 @@ def _som_loop_fast(codes, X, M, order, talp, trad, gd, gaussian, fixed_bmu):
 def find_qerror(codes: Dataset, data: Dataset, mode: str = "parity") -> float:
     """Mean distance-to-winner * N (find_qerror, som_rout.c:678-731).
     Returns the *total* qerror like the C function; divide by N for the
-    per-sample figure the CLI prints."""
+    per-sample figure the CLI prints.
+
+    `data` may be a data.streaming.StreamingReader: evaluation then runs
+    refill-by-refill with bounded memory (the reference's buffered eval
+    loop), preserving the C accumulation order in parity mode."""
+    if hasattr(data, "_chunks_one_lap"):  # StreamingReader
+        if mode == "parity":
+            # thread the RUNNING float32 total through the chunks — the
+            # C loop rounds to float32 after every sample, so chaining
+            # continues the exact accumulation sequence
+            q = F32(0.0)
+            for chunk in data.chunks(laps=1):
+                q = _qerror_parity_accum(q, codes, chunk)
+            return float(q)
+        total = 0.0
+        for chunk in data.chunks(laps=1):
+            total += find_qerror(codes, chunk, mode=mode)
+        return total
     if mode == "parity":
-        q = F32(0.0)
-        for i in range(data.n):
-            xm = data.mask[i] if data.mask is not None else None
-            if xm is not None and xm.all():
-                continue
-            _, diff = exact.find_winner_euc(data.points[i], codes.points, xm)
-            q = F32(np.float64(q) + np.sqrt(np.float64(diff)))
-        return float(q)
+        return float(_qerror_parity_accum(F32(0.0), codes, data))
+    return _find_qerror_fast(codes, data)
+
+
+def _qerror_parity_accum(q, codes: Dataset, data: Dataset):
+    """Continue the C per-sample qerror accumulation (som_rout.c:704-722)
+    from running float32 total `q` over `data`'s samples in file order."""
+    for i in range(data.n):
+        xm = data.mask[i] if data.mask is not None else None
+        if xm is not None and xm.all():
+            continue
+        _, diff = exact.find_winner_euc(data.points[i], codes.points, xm)
+        q = F32(np.float64(q) + np.sqrt(np.float64(diff)))
+    return q
+
+
+def _find_qerror_fast(codes: Dataset, data: Dataset) -> float:
     import jax.numpy as jnp
 
     # ONE host fetch for the whole evaluation: every chunk's partial sum
@@ -456,11 +552,24 @@ def find_qerror2(codes: Dataset, data: Dataset, radius: float,
     matmul + closed-form neighborhood weights from the BMU, one
     on-device accumulator, ONE host fetch — the r3 parity-only version
     would take hours on a 1M-vector workload (VERDICT r3 weak #4)."""
+    if hasattr(data, "_chunks_one_lap"):  # StreamingReader
+        if mode == "fast":
+            return sum(_find_qerror2_fast(codes, c, radius)
+                       for c in data.chunks(laps=1))
+        q = F32(0.0)
+        for chunk in data.chunks(laps=1):
+            q = _qerror2_parity_accum(q, codes, chunk, radius)
+        return float(q)
     if mode == "fast":
         return _find_qerror2_fast(codes, data, radius)
+    return float(_qerror2_parity_accum(F32(0.0), codes, data, radius))
+
+
+def _qerror2_parity_accum(q, codes: Dataset, data: Dataset, radius: float):
+    """Continue the C qetype-1 accumulation (find_qerror2,
+    som_rout.c:843-891) from running float32 total `q`."""
     gd = grid_distance_matrix(Topology(codes.topol), codes.xdim, codes.ydim)
     gaussian = codes.neigh == Neighborhood.GAUSSIAN
-    q = F32(0.0)
     for i in range(data.n):
         xm = data.mask[i] if data.mask is not None else None
         if xm is not None and xm.all():
@@ -494,7 +603,7 @@ def find_qerror2(codes: Dataset, data: Dataset, radius: float,
             for j in np.nonzero(sel)[0]:
                 qs = F32(qs + contrib[j])
         q = F32(q + qs)
-    return float(q)
+    return q
 
 
 _QERROR2_STEP = None
