@@ -298,6 +298,106 @@ def som_neighborhood_update_idx(
     return out[:noc, :D]
 
 
+def _som_accum_kernel(
+    bmu_ref,      # (1, B)    int32 GLOBAL BMU index of each batch sample
+    aw_ref,       # (1, B)    f32 per-sample effective alpha
+    x_ref,        # (B, D)    batch block
+    r_ref,        # (1, 1)    radius
+    off_ref,      # (1, 1)    int32 GLOBAL unit index of local row 0
+    acc_ref,      # (TN, D)   out: W^T X for this tile
+    wsum_ref,     # (TN, 1)   out: W^T 1 for this tile
+    *,
+    gaussian: bool,
+    tile_n: int,
+    xdim: int,
+    hexa: bool,
+):
+    """Neighborhood ACCUMULATORS only — no codebook I/O at all: acc and
+    wsum depend on just (bmu, alpha, grid geometry), so the mixed
+    data x model sharded step can psum these partials over the data axis
+    BEFORE the blend touches the codebook (parallel.sharded.
+    make_mixed_fused_som_train_step).  One pass: W recomputed per tile
+    on the VPU (exact grid algebra of _neighborhood_w), contraction on
+    the MXU."""
+    i = pl.program_id(0)
+    w = _neighborhood_w(bmu_ref[:], aw_ref[:], r_ref[0, 0],
+                        off_ref[0, 0] + i * tile_n, tile_n,
+                        xdim, hexa, gaussian)            # (TN, B)
+    acc_ref[:] = jax.lax.dot_general(
+        w, x_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    wsum_ref[:] = jnp.sum(w, axis=1)[:, None]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("xdim", "hexa", "gaussian", "tile_n", "n_local",
+                     "interpret"),
+)
+def som_neighborhood_accumulate(
+    xb: jnp.ndarray,        # (B, D) batch (D lane-padded)
+    bmu: jnp.ndarray,       # (B,) int32 GLOBAL BMU unit index per sample
+    n_local: int,           # local codebook rows (the shard height)
+    xdim: int,
+    hexa: bool,
+    alpha,                  # scalar or (B,) per-sample effective alpha
+    radius,
+    gaussian: bool = False,
+    tile_n: int = 512,
+    unit_offset=None,       # traced int: GLOBAL index of local row 0
+    interpret: Optional[bool] = None,
+):
+    """(acc (n_local, D), wsum (n_local, 1)) = W^T X and W^T 1 for the
+    local codebook rows, W never materialized in HBM.  The building
+    block of the mixed-mesh fused step: partials psum over the data
+    axis, then blend+winner run against the summed totals."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    B, D = xb.shape
+    if D % 128 != 0:
+        raise ValueError("som_neighborhood_accumulate: D must be lane-padded")
+    tile_n = min(tile_n, _round_up(n_local, 8))
+    if n_local % tile_n != 0:
+        raise ValueError(
+            f"som_neighborhood_accumulate: n_local={n_local} must be a "
+            f"multiple of tile_n={tile_n}")
+    bp = jnp.reshape(bmu.astype(jnp.int32), (1, B))
+    aw = jnp.broadcast_to(jnp.asarray(alpha, dtype=jnp.float32), (B,))
+    awp = jnp.reshape(aw, (1, B))
+    rr = jnp.asarray([[radius]], dtype=jnp.float32)
+    oo = jnp.reshape(jnp.asarray(
+        0 if unit_offset is None else unit_offset, jnp.int32), (1, 1))
+    acc, wsum = pl.pallas_call(
+        functools.partial(_som_accum_kernel, gaussian=gaussian,
+                          tile_n=tile_n, xdim=xdim, hexa=hexa),
+        grid=(n_local // tile_n,),
+        in_specs=[
+            pl.BlockSpec((1, B), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile_n, D), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_local, D), jnp.float32),
+            jax.ShapeDtypeStruct((n_local, 1), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * n_local * D,
+            bytes_accessed=(n_local * D + B * D + 2 * B + n_local) * 4,
+            transcendentals=B * n_local if gaussian else 0,
+        ),
+        interpret=interpret,
+    )(bp, awp, xb, rr, oo)
+    return acc, wsum
+
+
 def som_neighborhood_update(
     codes: jnp.ndarray,
     xb: jnp.ndarray,

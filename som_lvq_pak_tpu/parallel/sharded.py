@@ -523,6 +523,86 @@ def make_sharded_fused_som_train_step(
     return jax.jit(smapped)
 
 
+def make_mixed_fused_som_train_step(
+    mesh: Mesh, gaussian: bool, xdim: int, hexa: bool,
+    tile_n: int = 512, d_real=None, use_pallas: bool = True,
+) -> Callable:
+    """Fused SOM step for MIXED data x model meshes (VERDICT r3 task 4):
+    the batch shards over `data`, the codebook over `model`, and the
+    neighborhood accumulators Wt X / Wt 1 — which need no codebook at
+    all — are computed per device with a single Pallas pass
+    (ops.pallas_som.som_neighborhood_accumulate), psummed over `data`,
+    then the blend + next-batch winner search run against the summed
+    totals: one codebook read+write per step per shard plus one winner
+    read, versus the two-pass sharded_som_step's W-materializing update.
+    The winner of each data shard resolves over `model` with the same
+    allgather-min of (val, global_index) pairs as the pure-TP fused step
+    (ties: lowest global index, lvq_pak.c:79).
+
+    step(codes P('model', None), xb P('data', None), bmu P('data'),
+         xb_next P('data', None), alpha (scalar or (B,) replicated),
+         radius) -> (codes', bmu_next P('data'))
+
+    Works for any data/model axis sizes >= 1 (pure DP included); for
+    data == 1 prefer make_sharded_fused_som_train_step (one codebook
+    pass instead of two)."""
+    from ..models.fast import _guarded_sum_update
+    from ..ops.pallas_som import som_neighborhood_accumulate
+
+    dp = mesh.shape["data"]
+
+    def local(codes_l, xb_l, bmu_l, xn_l, alpha, radius):
+        n_local = codes_l.shape[0]
+        shard = jax.lax.axis_index("model").astype(jnp.int32)
+        off = shard * n_local
+        a = jnp.asarray(alpha, jnp.float32)
+        if a.ndim == 1:
+            # replicated full-batch per-sample alpha: slice this data
+            # shard's window
+            d = jax.lax.axis_index("data")
+            Bl = xb_l.shape[0]
+            a = jax.lax.dynamic_slice(a, (d * Bl,), (Bl,))
+        acc, wsum = som_neighborhood_accumulate(
+            xb_l, bmu_l, n_local, xdim, hexa, a, radius,
+            gaussian=gaussian, tile_n=min(tile_n, n_local),
+            unit_offset=off, interpret=not use_pallas or None)
+        if dp > 1:
+            acc = jax.lax.psum(acc, "data")
+            wsum = jax.lax.psum(wsum, "data")
+        newc = _guarded_sum_update(codes_l, acc, wsum)
+        # next batch shard's winner against the updated local rows
+        if use_pallas and jax.default_backend() != "cpu":
+            from ..ops.pallas_distance import dist_argmin
+
+            if d_real is not None:
+                val_l, idx_l = dist_argmin(xn_l[:, :d_real],
+                                           newc[:, :d_real])
+            else:
+                val_l, idx_l = dist_argmin(xn_l, newc)
+        else:
+            from ..ops.distance import find_winners
+
+            idx_l, val_l = find_winners(xn_l, newc)
+        gidx_l = idx_l.astype(jnp.int32) + off
+        vals = jax.lax.all_gather(val_l, "model")    # (S, Bl)
+        gidxs = jax.lax.all_gather(gidx_l, "model")  # (S, Bl)
+        best_val = jnp.min(vals, axis=0)
+        cand = jnp.where(vals == best_val[None, :], gidxs,
+                         jnp.iinfo(jnp.int32).max)
+        bmu_next = jnp.min(cand, axis=0)
+        return newc, bmu_next
+
+    smapped = jax.shard_map(
+        local,
+        mesh=mesh,
+        check_vma=False,
+        in_specs=(P("model", None), P("data", None), P("data"),
+                  P("data", None), P(), P()),
+        out_specs=(P("model", None), P("data")),
+    )
+    return jax.jit(smapped)
+
+
 # ---------------------------------------------------------------------------
 # Sharded fixed-alpha LVQ steps (lvq1 / lvq2.1 / lvq3)
 # ---------------------------------------------------------------------------

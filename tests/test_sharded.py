@@ -277,3 +277,56 @@ def test_sharded_lvq_step_matches_batch_step(mesh, algorithm):
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_mixed_fused_step_matches_oracle(mesh):
+    """The mixed data x model fused step (accumulate -> psum -> blend ->
+    winner allgather-min) equals the single-device batch update and the
+    two-kernel winner sequence, on a 2x4 mesh, gaussian and bubble,
+    scalar and per-sample alpha."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from som_lvq_pak_tpu.models.fast import grid_sq_dists_idx
+    from som_lvq_pak_tpu.parallel.sharded import (
+        make_mixed_fused_som_train_step,
+    )
+
+    B, D = 64, 128
+    xdim, ydim = 16, 8
+    N = xdim * ydim
+    for gaussian, per_sample in ((True, False), (False, False), (True, True)):
+        k1, k2, k3 = jax.random.split(jax.random.PRNGKey(11 + gaussian), 3)
+        codes = jax.random.normal(k1, (N, D), dtype=jnp.float32)
+        xb = jax.random.normal(k2, (B, D), dtype=jnp.float32)
+        xn = jax.random.normal(k3, (B, D), dtype=jnp.float32)
+        bmu = jnp.argmin(
+            jnp.sum((xb[:, None, :] - codes[None]) ** 2, axis=-1), axis=-1
+        ).astype(jnp.int32)
+        alpha = (jnp.linspace(0.01, 0.08, B).astype(jnp.float32)
+                 if per_sample else jnp.float32(0.05))
+
+        # oracle: exact-grid W update + winner on the updated codes
+        d2 = grid_sq_dists_idx(bmu, N, xdim, True)
+        a = jnp.broadcast_to(alpha, (B,))[:, None]
+        if gaussian:
+            W = a * jnp.exp(-d2 / (2.0 * 9.0))
+        else:
+            W = jnp.where(d2 <= 9.0, a, 0.0)
+        acc = W.T @ xb
+        wsum = jnp.sum(W, axis=0)[:, None]
+        safe = jnp.maximum(wsum, 1e-30)
+        ref = codes + jnp.minimum(wsum, 1.0) * (acc / safe - codes)
+        dn = jnp.sum((xn[:, None, :] - ref[None]) ** 2, axis=-1)
+        bmu_ref = jnp.argmin(dn, axis=-1)
+
+        step = make_mixed_fused_som_train_step(
+            mesh, gaussian=gaussian, xdim=xdim, hexa=True,
+            tile_n=16, use_pallas=False)
+        cs = jax.device_put(codes, NamedSharding(mesh, P("model", None)))
+        xs = jax.device_put(xb, NamedSharding(mesh, P("data", None)))
+        bs = jax.device_put(bmu, NamedSharding(mesh, P("data")))
+        ns = jax.device_put(xn, NamedSharding(mesh, P("data", None)))
+        c2, bmu2 = step(cs, xs, bs, ns, alpha, jnp.float32(3.0))
+        np.testing.assert_allclose(np.asarray(c2), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(bmu2), np.asarray(bmu_ref))

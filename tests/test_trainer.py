@@ -405,3 +405,29 @@ def test_lvq_trainer_mesh_matches_single_device(ref_dir):
         out_s = tr_s.fit(data, rlen=64 * 6, alpha=0.05)
         np.testing.assert_allclose(out_m.points, out_s.points,
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_som_trainer_mixed_mesh_fused_path(ex_dat):
+    """On a mixed 2x4 mesh the trainer takes the accumulate-psum-blend
+    fused step (use_fused_mixed); result matches the two-pass mesh path
+    on the same batches to float tolerance."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from som_lvq_pak_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(8, data=2, model=4)
+    init = som.randinit(ex_dat, Topology.HEXA, Neighborhood.GAUSSIAN, 8, 8,
+                        CRandom(13))
+    tr_f = SOMTrainer(init, batch_size=128, mesh=mesh, use_pallas=True,
+                      seed=4)
+    out_f = tr_f.fit(ex_dat, rlen=1024, alpha=0.05, radius=4.0)
+    tr_u = SOMTrainer(init, batch_size=128, mesh=mesh, use_pallas=False,
+                      seed=4)
+    out_u = tr_u.fit(ex_dat, rlen=1024, alpha=0.05, radius=4.0)
+    np.testing.assert_allclose(out_f.points, out_u.points, rtol=2e-2,
+                               atol=2e-2)
+    q_f = _qerror_per_sample(out_f, ex_dat)
+    q_u = _qerror_per_sample(out_u, ex_dat)
+    assert abs(q_f - q_u) < 0.05 * q_u, (q_f, q_u)
