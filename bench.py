@@ -148,12 +148,15 @@ def prep_mxu_probe():
 # headline sweep: fused-step configurations
 # ---------------------------------------------------------------------------
 
-def prep_fused(codes0, xb, xn, bmu0, *, tile_n, factored, d_real):
+def prep_fused(codes0, xb, xn, bmu0, *, tile_n, factored, d_real, **kw):
+    """kw passes through to som_fused_train_step (batch_chunk, stagger,
+    wxa_bf16, batch_bf16, separable_y — the r4 large-B kernel knobs)."""
     @jax.jit
     def step(c, bm, x, xnext):
         c2, bm2, _ = som_fused_train_step(
             c, x, bm, xnext, XDIM, True, ALPHA, RADIUS,
             gaussian=True, tile_n=tile_n, factored=factored, d_real=d_real,
+            **kw,
         )
         return c2, bm2
 
@@ -307,6 +310,74 @@ def prep_sharded_fused(codes0, xb, bmu0):
 
     chain(1)
     return lambda: slope_time(chain)
+
+
+def prep_sharded_mixed(codes0, xb, bmu0):
+    """Mixed data x model fused step on the 1-device mesh: accumulate
+    (no codebook I/O) + psum + blend + winner.  The composed-DPxTP
+    replacement for the two-pass sharded step (VERDICT r3 task 4: the
+    done-bar is >= 3x over sharded_step_us_1chip_mesh)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from som_lvq_pak_tpu.parallel.mesh import make_mesh
+    from som_lvq_pak_tpu.parallel.sharded import (
+        make_mixed_fused_som_train_step,
+    )
+
+    mesh = make_mesh(1, data=1, model=1)
+    step = make_mixed_fused_som_train_step(
+        mesh, gaussian=True, xdim=XDIM, hexa=True, tile_n=512, d_real=D)
+    cs = jax.device_put(codes0, NamedSharding(mesh, P("model", None)))
+
+    def chain(iters):
+        c, bm = step(cs, xb, bmu0, xb, ALPHA, RADIUS)
+        _ = float(np.asarray(c[0, 0]))
+        t0 = time.perf_counter()
+        for _i in range(iters):
+            c, bm = step(c, xb, bm, xb, ALPHA, RADIUS)
+        _ = float(np.asarray(c[0, 0]))
+        return time.perf_counter() - t0
+
+    chain(1)
+    return lambda: slope_time(chain)
+
+
+def prep_shape_probe():
+    """Attainable MXU rate AT THE KERNEL'S OWN contraction shapes: bare
+    XLA dots with the fused step's update shape (M=noc-tile stack,
+    K=B, N=128 lanes) and winner shape (M, K=d_real, N=B).  The square
+    4096^3 probe is the chip's peak; these are what the compiler itself
+    reaches when the contraction is only K=64..B deep and 128 lanes
+    wide — the fair 'speed of light' for a kernel that must do exactly
+    these shapes (roofline = attainable peak for the given operation).
+    Returns (update_flops_per_s, winner_flops_per_s)."""
+    M = 16384  # a 16k-row proxy stack; rate is M-independent past ~4k
+    k = jax.random.PRNGKey(3)
+
+    def rate(Mm, K, Nn):
+        a = jax.random.normal(k, (Mm, K), dtype=jnp.float32)
+        b = jax.random.normal(k, (K, Nn), dtype=jnp.float32)
+        mm = jax.jit(lambda a, b, s: jax.lax.dot_general(
+            a, b + s, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32))
+
+        def chain(iters):
+            o = mm(a, b, jnp.float32(0.0))
+            s = o[0, 0] * 0
+            t0 = time.perf_counter()
+            for _i in range(iters):
+                o = mm(a, b, s)
+                s = o[0, 0] * 1e-30
+            _ = float(np.asarray(o[0, 0]))
+            return time.perf_counter() - t0
+
+        chain(2)
+        return 2 * Mm * K * Nn / slope_time(chain, short=10, long_=40)
+
+    def measure(B_head):
+        return rate(M, B_head, DP), rate(M, D, B_head)
+
+    return measure
 
 
 def prep_vmem_steps():
@@ -492,14 +563,28 @@ def main():
         jax.random.normal(k3, (B, D), dtype=jnp.float32) * 3)
     codes_bf16 = codes.astype(jnp.bfloat16)
     _, bmu0 = dist_argmin(xb, codes)
-    # 2x-batch variant: doubles the MXU work per codebook byte moved —
-    # the arithmetic-intensity lever for this compute-bound shape
+    # larger-batch variants: B doubles the MXU work per codebook byte
+    # moved — the arithmetic-intensity lever for this compute-bound
+    # shape; B >= 4096 runs the r4 batch-chunked kernel (the (TN, B)
+    # blocks no longer fit scoped VMEM whole)
     k4, k5 = jax.random.split(jax.random.PRNGKey(1))
     xb2 = jnp.zeros((2 * B, DP), jnp.float32).at[:, :D].set(
         jax.random.normal(k4, (2 * B, D), dtype=jnp.float32) * 3)
     xn2 = jnp.zeros((2 * B, DP), jnp.float32).at[:, :D].set(
         jax.random.normal(k5, (2 * B, D), dtype=jnp.float32) * 3)
     _, bmu0_2 = dist_argmin(xb2, codes)
+    k6, k7 = jax.random.split(jax.random.PRNGKey(2))
+    xb4 = jnp.zeros((4 * B, DP), jnp.float32).at[:, :D].set(
+        jax.random.normal(k6, (4 * B, D), dtype=jnp.float32) * 3)
+    xn4 = jnp.zeros((4 * B, DP), jnp.float32).at[:, :D].set(
+        jax.random.normal(k7, (4 * B, D), dtype=jnp.float32) * 3)
+    _, bmu0_4 = dist_argmin(xb4, codes)
+    k8, k9 = jax.random.split(jax.random.PRNGKey(3))
+    xb8 = jnp.zeros((8 * B, DP), jnp.float32).at[:, :D].set(
+        jax.random.normal(k8, (8 * B, D), dtype=jnp.float32) * 3)
+    xn8 = jnp.zeros((8 * B, DP), jnp.float32).at[:, :D].set(
+        jax.random.normal(k9, (8 * B, D), dtype=jnp.float32) * 3)
+    _, bmu0_8 = dist_argmin(xb8, codes)
 
     extra = {}
     t_all = time.perf_counter()
@@ -510,20 +595,53 @@ def main():
     # never erase already-compiled sub-second measurements (r02 bug).
     compile_budget = float(os.environ.get(
         "SOMVQ_BENCH_COMPILE_BUDGET_S", "900"))
+    # fused-config registry: name -> (B of the config, roofline meta).
+    # meta: code_item / batch_item = HBM itemsizes of the codebook and
+    # batch residents, d_win = winner contraction depth.  Explicit
+    # metadata, not name-parsing — the r3 bench derived itemsize from
+    # the substring "bf16" and would mis-floor the bf16-BATCH configs.
+    FUSED_META = {
+        "fused_fact_dreal_bf16": (B, dict(code_item=2, batch_item=4, d_win=D)),
+        "fused_fact_dreal_f32": (B, dict(code_item=4, batch_item=4, d_win=D)),
+        "fused_plain_f32_tile512": (B, dict(code_item=4, batch_item=4,
+                                            d_win=DP)),
+        "fused_fact_dreal_f32_B2048": (2 * B, dict(code_item=4, batch_item=4,
+                                                   d_win=D)),
+        "fused_fact_dreal_f32_B4096_sepy": (
+            4 * B, dict(code_item=4, batch_item=4, d_win=D)),
+        "fused_fact_dreal_f32_B4096": (
+            4 * B, dict(code_item=4, batch_item=4, d_win=D)),
+        "fused_fact_dreal_f32_B8192_xbf16_sepy": (
+            8 * B, dict(code_item=4, batch_item=2, d_win=D)),
+        "fused_fact_f32": (B, dict(code_item=4, batch_item=4, d_win=DP)),
+        "fused_plain_bf16_tile512": (B, dict(code_item=2, batch_item=4,
+                                             d_win=DP)),
+    }
     warm_specs = [
         # headline candidates (essential: always attempted)
-        ("fused_fact_dreal_bf16", lambda: prep_fused(
-            codes_bf16, xb, xn, bmu0, tile_n=512, factored=True, d_real=D)),
-        ("fused_fact_dreal_f32", lambda: prep_fused(
-            codes, xb, xn, bmu0, tile_n=512, factored=True, d_real=D)),
-        ("fused_plain_f32_tile512", lambda: prep_fused(
-            codes, xb, xn, bmu0, tile_n=512, factored=False, d_real=None)),
+        ("fused_fact_dreal_f32_B8192_xbf16_sepy", lambda: prep_fused(
+            codes, xb8, xn8, bmu0_8, tile_n=256, factored=True, d_real=D,
+            batch_chunk=1024, wxa_bf16=True, batch_bf16=True,
+            separable_y=True)),
+        ("fused_fact_dreal_f32_B4096_sepy", lambda: prep_fused(
+            codes, xb4, xn4, bmu0_4, tile_n=256, factored=True, d_real=D,
+            batch_chunk=1024, wxa_bf16=True, separable_y=True)),
+        ("fused_fact_dreal_f32_B4096", lambda: prep_fused(
+            codes, xb4, xn4, bmu0_4, tile_n=256, factored=True, d_real=D,
+            batch_chunk=1024, wxa_bf16=True)),
         ("fused_fact_dreal_f32_B2048", lambda: prep_fused(
             codes, xb2, xn2, bmu0_2, tile_n=256, factored=True, d_real=D)),
+        ("fused_fact_dreal_f32", lambda: prep_fused(
+            codes, xb, xn, bmu0, tile_n=512, factored=True, d_real=D)),
         # probes (cheap, needed for roofline)
         ("hbm_probe", prep_hbm_probe),
         ("mxu_probe", prep_mxu_probe),
+        ("shape_probe", prep_shape_probe),
         # attribution / comparison configs
+        ("fused_fact_dreal_bf16", lambda: prep_fused(
+            codes_bf16, xb, xn, bmu0, tile_n=512, factored=True, d_real=D)),
+        ("fused_plain_f32_tile512", lambda: prep_fused(
+            codes, xb, xn, bmu0, tile_n=512, factored=False, d_real=None)),
         ("fused_fact_f32", lambda: prep_fused(
             codes, xb, xn, bmu0, tile_n=512, factored=True, d_real=None)),
         ("fused_plain_bf16_tile512", lambda: prep_fused(
@@ -534,13 +652,15 @@ def main():
         ("sharded_1chip_mesh", lambda: prep_sharded(codes, xb)),
         ("sharded_fused_1chip_mesh", lambda: prep_sharded_fused(
             codes, xb, bmu0)),
+        ("sharded_mixed_1chip_mesh", lambda: prep_sharded_mixed(
+            codes, xb, bmu0)),
         ("vmem_resident", prep_vmem_steps),
         ("somexample_shape", prep_somexample_shape),
         ("vfind_parallel_trials", prep_vfind),
     ]
-    # headline candidates + BOTH probes are always compiled: the
+    # headline candidates + the probes are always compiled: the
     # roofline block needs hbm_probe AND mxu_probe together
-    ESSENTIAL = 6
+    ESSENTIAL = 8
     measures = {}
     compile_s = {}
     for i, (name, prep) in enumerate(warm_specs):
@@ -574,11 +694,10 @@ def main():
     # interleaved sweep: one (short, long) slope sample per config per
     # round, three rounds — every config's repeats sample the same chip
     # phase, so a mid-sweep phase shift cannot masquerade as a config
-    # difference; per-config value = median positive slope
-    FUSED_NAMES = ("fused_fact_dreal_bf16", "fused_fact_dreal_f32",
-                   "fused_plain_f32_tile512", "fused_fact_f32",
-                   "fused_plain_bf16_tile512", "fused_fact_dreal_f32_B2048")
-    slopes = {n: [] for n in FUSED_NAMES if n in measures}
+    # difference; per-config value = median positive slope.  These are
+    # the SELECTION numbers (reported as sweep_step_us_*); the headline
+    # and all derived metrics come from the final same-window block.
+    slopes = {n: [] for n in FUSED_META if n in measures}
     for _rep in range(3):
         for name in slopes:
             try:
@@ -593,9 +712,9 @@ def main():
         if not pos:
             continue
         dt = pos[len(pos) // 2]
-        Bc = 2 * B if "B2048" in name else B
+        Bc = FUSED_META[name][0]
         sweep[name] = (dt, Bc)
-        extra["step_us_" + name[6:]] = round(dt * 1e6, 1)
+        extra["sweep_step_us_" + name[6:]] = round(dt * 1e6, 1)
     if not sweep:
         print(json.dumps({
             "metric": "som_train_step_evals_per_s_chip", "value": 0,
@@ -607,6 +726,20 @@ def main():
     evals = B_best * N
     extra["headline_config"] = best_name[6:]
 
+    # ---- SELF-CONSISTENT HEADLINE WINDOW (VERDICT r3 task 2): the
+    # headline step time and both probes are measured back-to-back in
+    # one tight window, and EVERY derived metric below comes from these
+    # three numbers — mxu_floor_us / roofline_pct reproduces
+    # step_us_<headline> by construction.  If the window's step differs
+    # from the sweep median by > 10 % the sweep value stays visible as
+    # sweep_step_us_<headline> (phase shift between the two).
+    try:
+        dt_final = slope_time(measures[best_name])
+    except Exception:
+        dt_final = None
+    if dt_final:
+        dt_fused = dt_final
+    extra["step_us_" + best_name[6:]] = round(dt_fused * 1e6, 1)
     bw = measure("hbm_probe")
     mxu = measure("mxu_probe")
     if bw:
@@ -615,9 +748,10 @@ def main():
         extra["mxu_probe_tflops"] = round(mxu / 1e12, 1)
 
     # ---- roofline for the best config: which resource binds?
-    itemsize = 2 if "bf16" in best_name else 4
-    step_bytes = 2 * N * DP * itemsize + 2 * B_best * DP * 4 + 2 * B_best * 4
-    d_win = D if "dreal" in best_name else DP
+    meta = FUSED_META[best_name][1]
+    step_bytes = (2 * N * DP * meta["code_item"]
+                  + 2 * B_best * DP * meta["batch_item"] + 2 * B_best * 4)
+    d_win = meta["d_win"]
     flops_padded = 2 * B_best * N * DP + 2 * B_best * N * d_win  # upd + win
     flops_useful = 4 * B_best * N * D                   # real-D work only
     if bw and mxu:
@@ -641,6 +775,26 @@ def main():
     extra["mfu_pct_padded_vs_peak197"] = round(
         100 * flops_padded / dt_fused / (PEAK_BF16_TFLOPS * 1e12), 1)
 
+    # ---- shape-matched attainable floor: what bare XLA dots reach at
+    # the kernel's own contraction shapes, measured in the same window.
+    # The square-probe roofline above charges the kernel for MXU
+    # efficiency that no implementation of these shapes can reach;
+    # roofline_attainable_pct is the honest share of that ceiling.
+    sp = measures.get("shape_probe")
+    if sp is not None and bw and mxu:
+        try:
+            upd_rate, win_rate = sp(B_best)
+            att_floor = (2 * B_best * N * DP / upd_rate
+                         + 2 * B_best * N * d_win / win_rate)
+            att_floor = max(att_floor, hbm_floor)
+            extra["xla_update_shape_tflops"] = round(upd_rate / 1e12, 1)
+            extra["xla_winner_shape_tflops"] = round(win_rate / 1e12, 1)
+            extra["attainable_floor_us"] = round(att_floor * 1e6, 1)
+            extra["roofline_attainable_pct"] = round(
+                100 * att_floor / dt_fused, 1)
+        except Exception as e:
+            extra["shape_probe"] = f"failed: {type(e).__name__}"
+
     # ---- remaining extras (all warmed; sub-second each)
     dt = measure("unfused_r1_style")
     if dt:
@@ -661,6 +815,12 @@ def main():
     dt = measure("sharded_fused_1chip_mesh")
     if dt:
         extra["sharded_fused_step_us_1chip_mesh"] = round(dt * 1e6, 1)
+    dt = measure("sharded_mixed_1chip_mesh")
+    if dt:
+        extra["sharded_mixed_step_us_1chip_mesh"] = round(dt * 1e6, 1)
+        base = extra.get("sharded_step_us_1chip_mesh")
+        if base:
+            extra["mixed_vs_two_pass_speedup"] = round(base / (dt * 1e6), 2)
     r = measure("vmem_resident")
     if r:
         dt_vmem, vm_noc, vm_b = r
@@ -685,17 +845,9 @@ def main():
     else:
         extra["e2e_128x128_100k"] = "skipped (time budget)"
 
-    # re-measure the headline config if budget remains and keep the best:
-    # the shared chip's contention phases shift minute to minute, and the
-    # metric should reflect the hardware, not the noisiest moment
-    if time.perf_counter() - t_meas < budget_s:
-        try:
-            dt2 = slope_time(measures[best_name])
-        except Exception:
-            dt2 = None
-        if dt2 and dt2 < dt_fused:
-            dt_fused = dt2
-            extra["step_us_" + best_name[6:]] = round(dt_fused * 1e6, 1)
+    # (the r3 budget-end re-measure is gone: it produced a headline step
+    # from a different chip phase than the derived metrics — the
+    # self-consistent window above is now the single source of truth)
 
     extra["compile_s"] = compile_s
     extra["multi_host"] = (

@@ -56,27 +56,29 @@ def mxu_probe():
 
 CONFIGS = [
     ("r3_B2048_t256_dual", 2048, dict(tile_n=256, factored=True, d_real=64)),
-    ("chk_B2048_t256_stag", 2048, dict(tile_n=256, factored=True, d_real=64,
-                                       batch_chunk=2048, stagger=True)),
-    ("chk_B4096_t256_bc1024", 4096, dict(tile_n=256, factored=True, d_real=64,
-                                         batch_chunk=1024, wxa_bf16=True)),
-    ("chk_B4096_t256_bc1024_stag", 4096, dict(tile_n=256, factored=True,
-                                              d_real=64, batch_chunk=1024,
-                                              stagger=True, wxa_bf16=True)),
-    ("chk_B4096_t512_bc1024_stag", 4096, dict(tile_n=512, factored=True,
-                                              d_real=64, batch_chunk=1024,
-                                              stagger=True, wxa_bf16=True)),
-    ("chk_B8192_t256_bc1024_stag_bf16", 8192, dict(
+    ("sepy_B2048", 2048, dict(tile_n=256, factored=True, d_real=64,
+                              batch_chunk=2048, separable_y=True)),
+    ("chk_B4096_bc1024", 4096, dict(tile_n=256, factored=True, d_real=64,
+                                    batch_chunk=1024, wxa_bf16=True)),
+    ("sepy_B4096_bc1024", 4096, dict(tile_n=256, factored=True, d_real=64,
+                                     batch_chunk=1024, wxa_bf16=True,
+                                     separable_y=True)),
+    ("chk_B8192_bc1024_bf16", 8192, dict(
         tile_n=256, factored=True, d_real=64, batch_chunk=1024,
-        stagger=True, wxa_bf16=True, batch_bf16=True)),
-    ("chk_B8192_t512_bc1024_stag_bf16", 8192, dict(
-        tile_n=512, factored=True, d_real=64, batch_chunk=1024,
-        stagger=True, wxa_bf16=True, batch_bf16=True)),
+        wxa_bf16=True, batch_bf16=True)),
+    ("sepy_B8192_bc1024_bf16", 8192, dict(
+        tile_n=256, factored=True, d_real=64, batch_chunk=1024,
+        wxa_bf16=True, batch_bf16=True, separable_y=True)),
 ]
 
 def main():
     print("compiling...", flush=True)
-    chains = [(name, B, make_chain(B, kw)) for name, B, kw in CONFIGS]
+    chains = []
+    for name, B, kw in CONFIGS:
+        try:
+            chains.append((name, B, make_chain(B, kw)))
+        except Exception as e:
+            print(f"SKIP {name}: {type(e).__name__}: {str(e)[-160:]}", flush=True)
     mxu = mxu_probe()
     print(f"mxu_probe_tflops {mxu/1e12:.1f}", flush=True)
     # interleaved: 3 rounds, each measures every config once
