@@ -150,7 +150,7 @@ def prep_mxu_probe():
 
 def prep_fused(codes0, xb, xn, bmu0, *, tile_n, factored, d_real, **kw):
     """kw passes through to som_fused_train_step (batch_chunk, stagger,
-    wxa_bf16, batch_bf16, separable_y — the r4 large-B kernel knobs)."""
+    wxa_bf16, batch_bf16 — the r4 large-B kernel knobs)."""
     @jax.jit
     def step(c, bm, x, xnext):
         c2, bm2, _ = som_fused_train_step(
@@ -342,42 +342,101 @@ def prep_sharded_mixed(codes0, xb, bmu0):
     return lambda: slope_time(chain)
 
 
-def prep_shape_probe():
-    """Attainable MXU rate AT THE KERNEL'S OWN contraction shapes: bare
-    XLA dots with the fused step's update shape (M=noc-tile stack,
-    K=B, N=128 lanes) and winner shape (M, K=d_real, N=B).  The square
-    4096^3 probe is the chip's peak; these are what the compiler itself
-    reaches when the contraction is only K=64..B deep and 128 lanes
-    wide — the fair 'speed of light' for a kernel that must do exactly
-    these shapes (roofline = attainable peak for the given operation).
-    Returns (update_flops_per_s, winner_flops_per_s)."""
-    M = 16384  # a 16k-row proxy stack; rate is M-independent past ~4k
-    k = jax.random.PRNGKey(3)
+def _skeleton_kernel(w_ref, x_ref, xn_ref, codes_ref, out_ref, vmax_ref,
+                     *, tile_n, batch_chunk, d_real):
+    """Matmul-only SKELETON of the fused step: the same grid, tiles, and
+    two MXU contractions per tile (update K=batch-chunk, winner
+    K=d_real) with NO weight generation, NO blend, NO argmax — the
+    attainable ceiling for any implementation of this exact computation
+    on this chip.  Measured r4: 59-67 % of the square-4096^3 probe —
+    i.e. the gap between the full kernel and the square-matmul roofline
+    is dominated by the MXU's own efficiency at these shapes, not by
+    kernel epilogue work (the full kernel runs at ~93-99 % of this
+    skeleton).  See PERF.md."""
+    from jax.experimental import pallas as pl
 
-    def rate(Mm, K, Nn):
-        a = jax.random.normal(k, (Mm, K), dtype=jnp.float32)
-        b = jax.random.normal(k, (K, Nn), dtype=jnp.float32)
-        mm = jax.jit(lambda a, b, s: jax.lax.dot_general(
-            a, b + s, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32))
+    i = pl.program_id(0)
+    B = x_ref.shape[0]
+    BC = batch_chunk
+    acc = jnp.zeros((tile_n, x_ref.shape[1]), jnp.float32)
+    for c in range(B // BC):
+        sl = pl.ds(c * BC, BC)
+        acc = acc + jax.lax.dot_general(
+            w_ref[:, sl], x_ref[sl, :], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    newc = codes_ref[:] + acc * 1e-30   # touch codes, keep the chain real
+    out_ref[:] = newc
+    cw = newc[:, :d_real].astype(xn_ref.dtype)
+    for c in range(B // BC):
+        sl = pl.ds(c * BC, BC)
+        mx = jax.lax.dot_general(
+            cw, xn_ref[sl, :d_real], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        lm = jnp.max(mx, axis=0, keepdims=True)
 
-        def chain(iters):
-            o = mm(a, b, jnp.float32(0.0))
-            s = o[0, 0] * 0
-            t0 = time.perf_counter()
-            for _i in range(iters):
-                o = mm(a, b, s)
-                s = o[0, 0] * 1e-30
-            _ = float(np.asarray(o[0, 0]))
-            return time.perf_counter() - t0
+        @pl.when(i == 0)
+        def _():
+            vmax_ref[:, sl] = lm
 
-        chain(2)
-        return 2 * Mm * K * Nn / slope_time(chain, short=10, long_=40)
+        @pl.when(i > 0)
+        def _():
+            vmax_ref[:, sl] = jnp.maximum(vmax_ref[:, sl], lm)
 
-    def measure(B_head):
-        return rate(M, B_head, DP), rate(M, D, B_head)
 
-    return measure
+def prep_skeleton(Bc, bc, batch_bf16):
+    """Chain for the skeleton kernel at batch size Bc; the headline's
+    attainable floor = this skeleton's step time (same window)."""
+    import functools
+
+    from jax.experimental import pallas as pl_
+    from jax.experimental.pallas import tpu as pltpu
+
+    @jax.jit
+    def step(codes, w, x):
+        return pl_.pallas_call(
+            functools.partial(_skeleton_kernel, tile_n=256,
+                              batch_chunk=bc, d_real=D),
+            grid=(N // 256,),
+            in_specs=[
+                pl_.BlockSpec((256, Bc), lambda i: (0, 0),
+                              memory_space=pltpu.VMEM),
+                pl_.BlockSpec((Bc, DP), lambda i: (0, 0),
+                              memory_space=pltpu.VMEM),
+                pl_.BlockSpec((Bc, DP), lambda i: (0, 0),
+                              memory_space=pltpu.VMEM),
+                pl_.BlockSpec((256, DP), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl_.BlockSpec((256, DP), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM),
+                pl_.BlockSpec((1, Bc), lambda i: (0, 0),
+                              memory_space=pltpu.VMEM),
+            ],
+            out_shape=[jax.ShapeDtypeStruct((N, DP), jnp.float32),
+                       jax.ShapeDtypeStruct((1, Bc), jnp.float32)],
+            cost_estimate=pl_.CostEstimate(
+                flops=2 * Bc * N * DP + 2 * Bc * N * D,
+                bytes_accessed=2 * N * DP * 4, transcendentals=0),
+        )(w, x, x, codes)
+
+    k = jax.random.PRNGKey(5)
+    codes0 = jax.random.normal(k, (N, DP), jnp.float32)
+    wdtype = jnp.bfloat16 if batch_bf16 else jnp.float32
+    w = (jax.random.uniform(k, (256, Bc)) * 0.001).astype(wdtype)
+    x = jax.random.normal(k, (Bc, DP), jnp.float32).astype(wdtype)
+
+    def chain(iters):
+        c, v = step(codes0, w, x)
+        _ = float(np.asarray(c[0, 0]))
+        t0 = time.perf_counter()
+        for _i in range(iters):
+            c, v = step(c, w, x)
+        _ = float(np.asarray(c[0, 0]))
+        return time.perf_counter() - t0
+
+    chain(1)
+    return lambda: slope_time(chain)
 
 
 def prep_vmem_steps():
@@ -607,11 +666,9 @@ def main():
                                             d_win=DP)),
         "fused_fact_dreal_f32_B2048": (2 * B, dict(code_item=4, batch_item=4,
                                                    d_win=D)),
-        "fused_fact_dreal_f32_B4096_sepy": (
-            4 * B, dict(code_item=4, batch_item=4, d_win=D)),
         "fused_fact_dreal_f32_B4096": (
             4 * B, dict(code_item=4, batch_item=4, d_win=D)),
-        "fused_fact_dreal_f32_B8192_xbf16_sepy": (
+        "fused_fact_dreal_f32_B8192_xbf16": (
             8 * B, dict(code_item=4, batch_item=2, d_win=D)),
         "fused_fact_f32": (B, dict(code_item=4, batch_item=4, d_win=DP)),
         "fused_plain_bf16_tile512": (B, dict(code_item=2, batch_item=4,
@@ -619,13 +676,9 @@ def main():
     }
     warm_specs = [
         # headline candidates (essential: always attempted)
-        ("fused_fact_dreal_f32_B8192_xbf16_sepy", lambda: prep_fused(
+        ("fused_fact_dreal_f32_B8192_xbf16", lambda: prep_fused(
             codes, xb8, xn8, bmu0_8, tile_n=256, factored=True, d_real=D,
-            batch_chunk=1024, wxa_bf16=True, batch_bf16=True,
-            separable_y=True)),
-        ("fused_fact_dreal_f32_B4096_sepy", lambda: prep_fused(
-            codes, xb4, xn4, bmu0_4, tile_n=256, factored=True, d_real=D,
-            batch_chunk=1024, wxa_bf16=True, separable_y=True)),
+            batch_chunk=1024, wxa_bf16=True, batch_bf16=True)),
         ("fused_fact_dreal_f32_B4096", lambda: prep_fused(
             codes, xb4, xn4, bmu0_4, tile_n=256, factored=True, d_real=D,
             batch_chunk=1024, wxa_bf16=True)),
@@ -633,10 +686,13 @@ def main():
             codes, xb2, xn2, bmu0_2, tile_n=256, factored=True, d_real=D)),
         ("fused_fact_dreal_f32", lambda: prep_fused(
             codes, xb, xn, bmu0, tile_n=512, factored=True, d_real=D)),
-        # probes (cheap, needed for roofline)
+        # probes (cheap, needed for roofline); skeletons = matmul-only
+        # twins of the headline candidates (the attainable floor)
         ("hbm_probe", prep_hbm_probe),
         ("mxu_probe", prep_mxu_probe),
-        ("shape_probe", prep_shape_probe),
+        ("skeleton_B8192_xbf16", lambda: prep_skeleton(8 * B, 1024, True)),
+        ("skeleton_B4096", lambda: prep_skeleton(4 * B, 1024, False)),
+        ("skeleton_B2048", lambda: prep_skeleton(2 * B, 2048, False)),
         # attribution / comparison configs
         ("fused_fact_dreal_bf16", lambda: prep_fused(
             codes_bf16, xb, xn, bmu0, tile_n=512, factored=True, d_real=D)),
@@ -660,7 +716,7 @@ def main():
     ]
     # headline candidates + the probes are always compiled: the
     # roofline block needs hbm_probe AND mxu_probe together
-    ESSENTIAL = 8
+    ESSENTIAL = 7
     measures = {}
     compile_s = {}
     for i, (name, prep) in enumerate(warm_specs):
@@ -775,25 +831,28 @@ def main():
     extra["mfu_pct_padded_vs_peak197"] = round(
         100 * flops_padded / dt_fused / (PEAK_BF16_TFLOPS * 1e12), 1)
 
-    # ---- shape-matched attainable floor: what bare XLA dots reach at
-    # the kernel's own contraction shapes, measured in the same window.
-    # The square-probe roofline above charges the kernel for MXU
-    # efficiency that no implementation of these shapes can reach;
-    # roofline_attainable_pct is the honest share of that ceiling.
-    sp = measures.get("shape_probe")
-    if sp is not None and bw and mxu:
+    # ---- attainable floor: the matmul-only SKELETON of the headline
+    # config (same grid/tiles/contractions, zero weight-gen/blend/
+    # argmax), measured in the same window.  The square-probe roofline
+    # above charges the kernel for MXU efficiency that NO implementation
+    # of these contraction shapes can reach (the skeleton itself runs at
+    # only ~60-67 % of the 4096^3 probe); roofline_attainable_pct is the
+    # honest share of the real ceiling.
+    skel_name = ("skeleton_B8192_xbf16" if B_best == 8 * B else
+                 "skeleton_B4096" if B_best == 4 * B else
+                 "skeleton_B2048" if B_best == 2 * B else None)
+    sk = measures.get(skel_name) if skel_name else None
+    if sk is not None:
         try:
-            upd_rate, win_rate = sp(B_best)
-            att_floor = (2 * B_best * N * DP / upd_rate
-                         + 2 * B_best * N * d_win / win_rate)
-            att_floor = max(att_floor, hbm_floor)
-            extra["xla_update_shape_tflops"] = round(upd_rate / 1e12, 1)
-            extra["xla_winner_shape_tflops"] = round(win_rate / 1e12, 1)
-            extra["attainable_floor_us"] = round(att_floor * 1e6, 1)
+            skel_dt = sk()
+            extra["skeleton_step_us"] = round(skel_dt * 1e6, 1)
             extra["roofline_attainable_pct"] = round(
-                100 * att_floor / dt_fused, 1)
+                100 * skel_dt / dt_fused, 1)
+            if mxu:
+                extra["skeleton_mxu_eff_pct"] = round(
+                    100 * flops_padded / skel_dt / mxu, 1)
         except Exception as e:
-            extra["shape_probe"] = f"failed: {type(e).__name__}"
+            extra["skeleton"] = f"failed: {type(e).__name__}"
 
     # ---- remaining extras (all warmed; sub-second each)
     dt = measure("unfused_r1_style")

@@ -746,7 +746,6 @@ def _som_fused_factored_kernel(
 
 def _som_fused_factored_chunked_kernel(
     bmu_ref,      # (1, B)    int32 BMU of the CURRENT batch
-    bmucol_ref,   # (B, 1)    the same BMUs, sublane-major (separable_y)
     aw_ref,       # (1, B)    f32 per-sample effective alpha
     x_ref,        # (B, D)    current batch
     xn_ref,       # (B', D)   NEXT batch (winner search target)
@@ -770,7 +769,6 @@ def _som_fused_factored_chunked_kernel(
     batch_chunk: int,
     stagger: bool,
     n_tiles: int,
-    separable_y: bool = False,
 ):
     """Batch-chunked (and optionally staggered) separable-neighborhood
     fused step — the large-B variant of _som_fused_factored_kernel.
@@ -843,21 +841,6 @@ def _som_fused_factored_chunked_kernel(
     def update_chunk(c, acc, wsum):
         """One batch chunk of tile i's neighborhood accumulation."""
         sl = pl.ds(c * BC, BC)
-        if separable_y:
-            # sublane-major y factor: rows_per_tile == 1, gaussian
-            rowb_c = bmucol_ref[sl, :] // xdim            # (BC, 1)
-            rdc = (i - rowb_c).astype(jnp.float32)
-            dy2c = (rdc * rdc) * 0.75 if hexa else rdc * rdc
-            wy = jnp.exp(-dy2c * s)                       # (BC, 1)
-            xw = wy.astype(x_ref.dtype) * x_ref[sl, :]    # (BC, D)
-            wxa = wxa_ref[pl.ds((i % 2) * tile_n, tile_n), sl]
-            acc = acc + jax.lax.dot_general(
-                wxa.astype(x_ref.dtype), xw, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)       # (TN, D)
-            wsum = wsum + jax.lax.dot_general(
-                wxa.astype(jnp.float32), wy, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)       # (TN, 1)
-            return acc, wsum
         bmu_c = bmu_ref[:, sl]
         rowb = bmu_c // xdim                              # (1, BC)
         ry = (i * rows_per_tile
@@ -986,7 +969,6 @@ def _som_fused_factored_chunked_kernel(
 def _fused_factored_chunked_call(
     codes, xb, bp, awp, xb_next, rr, *, xdim, hexa, gaussian, tile_n,
     d_real, precision, batch_chunk, stagger, wxa_bf16, interpret,
-    separable_y=False,
 ):
     """pallas_call plumbing for _som_fused_factored_chunked_kernel."""
     noc, D = codes.shape
@@ -999,7 +981,6 @@ def _fused_factored_chunked_call(
             f"and B'={Bn} and be a multiple of 128")
     n_tiles = noc // tile_n
     dual = hexa and tile_n == xdim
-    separable_y = separable_y and dual and gaussian
     pat_rows = 2 * tile_n if dual else tile_n
     # bubble's threshold compare needs the exact f32 dx^2 pattern — bf16
     # mantissa would wobble the boundary; the bf16 option only ever pays
@@ -1019,18 +1000,16 @@ def _fused_factored_chunked_call(
     ]
     if stagger:
         scratch.append(pltpu.VMEM((tile_n, D), jnp.float32))
-    bcol = jnp.reshape(bp, (B, 1))
     codes_new, val, idx = pl.pallas_call(
         functools.partial(
             _som_fused_factored_chunked_kernel,
             gaussian=gaussian, tile_n=tile_n, xdim=xdim, hexa=hexa,
             d_real=d_real, precision=precision, batch_chunk=BC,
-            stagger=stagger, n_tiles=n_tiles, separable_y=separable_y,
+            stagger=stagger, n_tiles=n_tiles,
         ),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, B), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, B), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((B, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((Bn, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -1055,7 +1034,7 @@ def _fused_factored_chunked_call(
             transcendentals=(tile_n + noc // xdim) * B if gaussian else 0,
         ),
         interpret=interpret,
-    )(bp, bcol, awp, xb, xb_next, codes, rr)
+    )(bp, awp, xb, xb_next, codes, rr)
     return codes_new, idx[0, :], val[0, :]
 
 
@@ -1063,7 +1042,7 @@ def _fused_factored_chunked_call(
     jax.jit,
     static_argnames=("xdim", "hexa", "gaussian", "tile_n", "interpret",
                      "precision", "factored", "d_real", "batch_chunk",
-                     "stagger", "wxa_bf16", "batch_bf16", "separable_y"),
+                     "stagger", "wxa_bf16", "batch_bf16"),
 )
 def som_fused_train_step(
     codes: jnp.ndarray,     # (noc, D) — keep D lane-padded (mult of 128)
@@ -1098,10 +1077,6 @@ def som_fused_train_step(
     #                       blocks in bfloat16 (halves their VMEM; the
     #                       MXU truncates f32 inputs at default
     #                       precision anyway — required at B=8192)
-    separable_y: bool = False,  # dual-parity gaussian chunked path:
-    #                       never materialize the (TN, BC) weight block —
-    #                       scale the batch by the y-factor and contract
-    #                       straight from the x-pattern scratch
 ):
     """One fused SOM training step at the HBM roofline.
 
@@ -1156,8 +1131,7 @@ def som_fused_train_step(
         aw = jnp.broadcast_to(jnp.asarray(alpha, dtype=jnp.float32), (B,))
         awp = jnp.reshape(aw, (1, B))
         rr = jnp.asarray([[radius]], dtype=jnp.float32)
-        if (batch_chunk is not None or stagger or wxa_bf16 or batch_bf16
-                or separable_y):
+        if (batch_chunk is not None or stagger or wxa_bf16 or batch_bf16):
             if batch_bf16:
                 xb = xb.astype(jnp.bfloat16)
                 xb_next = xb_next.astype(jnp.bfloat16)
@@ -1165,8 +1139,7 @@ def som_fused_train_step(
                 codes, xb, bp, awp, xb_next, rr, xdim=xdim, hexa=hexa,
                 gaussian=gaussian, tile_n=tile_n, d_real=d_real,
                 precision=precision, batch_chunk=batch_chunk,
-                stagger=stagger, wxa_bf16=wxa_bf16, interpret=interpret,
-                separable_y=separable_y)
+                stagger=stagger, wxa_bf16=wxa_bf16, interpret=interpret)
         codes_new, val, idx = pl.pallas_call(
             functools.partial(
                 _som_fused_factored_kernel,

@@ -421,7 +421,6 @@ def test_fused_chunked_stagger_kernel_matches_factored():
         (16, 12, False, True, 64, 2, 128, True),    # rect
         (16, 8, True, False, None, 1, 128, True),   # bubble dual-parity
         (16, 8, True, False, None, 2, 128, False),  # bubble multi-row
-        (16, 8, True, True, 64, 1, 128, "sepy"),    # separable-y
     ):
         noc = xdim * ydim
         k1, k2, k3 = jax.random.split(jax.random.PRNGKey(noc + xdim + bc), 3)
@@ -440,8 +439,7 @@ def test_fused_chunked_stagger_kernel_matches_factored():
         c1, i1, v1 = som_fused_train_step(
             codes, xb, bmu, xn, xdim, hexa, 0.05, 3.0,
             gaussian=gaussian, tile_n=tn, factored=True, d_real=d_real,
-            batch_chunk=bc, stagger=(stag is True),
-            separable_y=(stag == "sepy"))
+            batch_chunk=bc, stagger=stag)
         np.testing.assert_allclose(np.asarray(c1), np.asarray(c0),
                                    rtol=1e-5, atol=1e-5)
         # a handful of winner flips between exactly-tied scores can

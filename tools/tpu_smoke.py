@@ -99,7 +99,7 @@ def main():
     # --- batch-chunked / staggered factored kernel: the large-B (4096/
     # 8192) geometries whose (TN, B) blocks exceed scoped VMEM without
     # chunking, plus the stagger drain-cell path and the bf16 x-pattern
-    def chunked(B, tile_n, bc, stag, bf16, bbf16=False, sepy=False):
+    def chunked(B, tile_n, bc, stag, bf16, bbf16=False):
         codes = jax.random.normal(k1, (65536, 128), jnp.float32)
         xb = jax.random.normal(k2, (B, 128), jnp.float32)
         _, bmu0 = dist_argmin(xb, codes)
@@ -107,7 +107,7 @@ def main():
             codes, xb, bmu0, xb, 256, True, jnp.float32(0.02),
             jnp.float32(3.0), gaussian=True, tile_n=tile_n, factored=True,
             d_real=64, batch_chunk=bc, stagger=stag, wxa_bf16=bf16,
-            batch_bf16=bbf16, separable_y=sepy)
+            batch_bf16=bbf16)
         assert np.isfinite(np.asarray(c2, dtype=np.float32)).all()
         b = np.asarray(bmu)
         assert (b >= 0).all() and (b < 65536).all()
@@ -124,10 +124,10 @@ def main():
          lambda: chunked(8192, 256, 1024, True, True, True))
     case("som_fused_chunked[B8192,tile512,bc1024,stagger,bf16]",
          lambda: chunked(8192, 512, 1024, True, True, True))
-    case("som_fused_chunked[B8192,tile256,bc1024,sepY,bf16]",
-         lambda: chunked(8192, 256, 1024, False, True, True, True))
-    case("som_fused_chunked[B4096,tile256,bc1024,sepY]",
-         lambda: chunked(4096, 256, 1024, False, True, False, True))
+    case("som_fused_chunked[B8192,tile256,bc1024,bf16]",
+         lambda: chunked(8192, 256, 1024, False, True, True))
+    case("som_fused_chunked[B4096,tile256,bc1024,noStag]",
+         lambda: chunked(4096, 256, 1024, False, True))
 
     # --- fused TP step (shard_map + pallas with a traced unit offset)
     def fused_tp():
