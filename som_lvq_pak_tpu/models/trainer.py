@@ -499,6 +499,36 @@ class SOMTrainer:
             tile_n = tn_fact if factored else pick_fused_tile_n(
                 self.meta.n, self.batch_size, Dp)
             d_real = D if (D < Dp and D % 8 == 0) else None
+            # large batches: the batch-chunked kernel keeps the map's
+            # natural tile (the (TN, B) blocks stream in 1024-lane
+            # slices) instead of shrinking tile_n to fit VMEM — the r4
+            # measured-fastest shape for B >= 4096.  The combination is
+            # accepted only if its estimated working set fits the scoped
+            # VMEM budget (bf16 x-pattern for gaussian; batches go bf16
+            # as the last resort at B >= 8192)
+            batch_chunk = None
+            chunk_bf16 = {}
+            if (factored and self.batch_size >= 4096
+                    and self.batch_size % 1024 == 0):
+                from ..ops.pallas_som import chunked_step_vmem_bytes
+
+                tn_big = pick_fused_tile_n(
+                    self.meta.n, 1024, Dp, xdim=self.meta.xdim,
+                    factored=True)
+                if _factored_geometry_ok(self.meta.n, self.meta.xdim,
+                                         tn_big, hexa):
+                    budget = 14 << 20
+                    for wxa_b, bat_b in ((self.gaussian, False),
+                                         (self.gaussian, True)):
+                        if chunked_step_vmem_bytes(
+                                tn_big, self.batch_size, 1024, Dp,
+                                self.meta.xdim, hexa, wxa_bf16=wxa_b,
+                                batch_bf16=bat_b) <= budget:
+                            tile_n = tn_big
+                            batch_chunk = 1024
+                            chunk_bf16 = dict(wxa_bf16=wxa_b,
+                                              batch_bf16=bat_b)
+                            break
 
             it = batches()
             prev = next(it, None)
@@ -539,6 +569,7 @@ class SOMTrainer:
                     eff_alpha(b, wt_b, mk_b), jnp.float32(trad[b]),
                     gaussian=self.gaussian, tile_n=tile_n,
                     factored=factored, d_real=d_real,
+                    batch_chunk=batch_chunk, **chunk_bf16,
                 )
                 if nxt is not None:
                     bmu = bmu_next

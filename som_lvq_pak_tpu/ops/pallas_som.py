@@ -568,6 +568,27 @@ def pick_fused_tile_n(noc: int, B: int, D: int, xdim: int = 0,
     return 8
 
 
+def chunked_step_vmem_bytes(tile_n: int, B: int, BC: int, D: int,
+                            xdim: int, hexa: bool,
+                            wxa_bf16: bool = False,
+                            batch_bf16: bool = False) -> int:
+    """Approximate VMEM working set of the batch-chunked factored step:
+    both batch blocks, the x-pattern scratch (doubled for the hexa
+    one-row-per-tile dual-parity case), codebook tiles, and the per-chunk
+    (tile_n, BC) working blocks.  Used to keep auto-selected
+    (tile_n, batch_chunk, wxa_bf16) combinations under the ~16 MB scoped
+    limit (Mosaic OOMs at compile otherwise — observed at 17.4-18.0 MB)."""
+    batch_item = 2 if batch_bf16 else 4
+    wxa_item = 2 if wxa_bf16 else 4
+    dual = hexa and tile_n == xdim
+    pat_rows = 2 * tile_n if dual else tile_n
+    return (2 * B * D * batch_item          # x + xn blocks
+            + pat_rows * B * wxa_item       # x-pattern scratch
+            + 3 * tile_n * D * 4            # codes in/out (+ headroom)
+            + 3 * tile_n * BC * 4           # w / mx / wy-expand chunks
+            + 2 * B * 4)                    # bmu/alpha rows, winner scratch
+
+
 def _factored_geometry_ok(noc: int, xdim: int, tile_n: int, hexa: bool) -> bool:
     """True when the separable-neighborhood kernel applies: tiles cover
     whole grid rows (tile_n % xdim == 0), the codebook has no padded
