@@ -587,10 +587,14 @@ def run_e2e_config4():
             sent += hi - lo
 
     bs = 1024
-    # warmup fit compiles the fused step + dist_argmin at this shape
+    # warmup fit compiles the fused step + dist_argmin at this shape;
+    # the warm eval compiles the fast-qerror chunk executable (the timed
+    # eval below must measure evaluation, not a first-call compile
+    # through the tunnel — symmetric with the train-side warmup)
     warm = SOMTrainer(codes, batch_size=bs, use_pallas=True)
-    warm.fit(stream(2 * bs), rlen=2 * bs, alpha=0.05, radius=32,
-             allow_short_stream=True)
+    wout = warm.fit(stream(2 * bs), rlen=2 * bs, alpha=0.05, radius=32,
+                    allow_short_stream=True)
+    find_qerror(wout, data, mode="fast")
 
     trainer = SOMTrainer(codes, batch_size=bs, use_pallas=True)
     t0 = time.perf_counter()

@@ -398,6 +398,138 @@ def som_neighborhood_accumulate(
     return acc, wsum
 
 
+def _som_blend_winner_kernel(
+    acc_ref,      # (TN, D)   psummed W^T X for this tile
+    wsum_ref,     # (TN, 1)   psummed W^T 1
+    codes_ref,    # (TN, D)   codebook tile (input)
+    xn_ref,       # (B', D)   NEXT batch (winner search target)
+    out_ref,      # (TN, D)   blended codebook tile
+    val_ref,      # (1, B')   winner partial sq-dist (||m||^2 - 2 x.m)
+    idx_ref,      # (1, B')   winner LOCAL row index
+    vmin_ref,     # (1, B')   f32 scratch: running max score
+    varg_ref,     # (1, B')   i32 scratch: running argmax
+    *,
+    tile_n: int,
+    d_real: Optional[int],
+    precision,
+    n_tiles: int,
+    batch_chunk: int,
+):
+    """Pass B of the mixed-mesh fused step: guarded blend of the
+    psummed accumulators into the codebook tile + the next batch's
+    winner fold against the just-blended tile — ONE codebook read+write
+    for what the XLA fallback does in a blend read/write plus a separate
+    winner read.  Same transposed-score winner contract as
+    _som_fused_step_kernel (strict >, first tile wins ties)."""
+    i = pl.program_id(0)
+    BC = batch_chunk
+    Bn = xn_ref.shape[0]
+    newc = _guarded_blend(codes_ref[:].astype(jnp.float32), acc_ref[:],
+                          wsum_ref[:])
+    out_ref[:] = newc.astype(out_ref.dtype)
+    m2h = 0.5 * jnp.sum(newc * newc, axis=1, keepdims=True)  # (TN, 1)
+    cw = (newc[:, :d_real] if d_real is not None else newc
+          ).astype(xn_ref.dtype)
+    for c in range(Bn // BC):
+        sl = pl.ds(c * BC, BC)
+        xw = (xn_ref[sl, :d_real] if d_real is not None
+              else xn_ref[sl, :])
+        mx = jax.lax.dot_general(
+            cw, xw, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
+        )                                                 # (TN, BC)
+        s_t = mx - m2h
+        lm = jnp.max(s_t, axis=0, keepdims=True)
+        la = jnp.argmax(s_t, axis=0)[None, :] + i * tile_n
+
+        @pl.when(i == 0)
+        def _():
+            vmin_ref[:, sl] = lm
+            varg_ref[:, sl] = la
+
+        @pl.when(i > 0)
+        def _():
+            better = lm > vmin_ref[:, sl]
+            varg_ref[:, sl] = jnp.where(better, la, varg_ref[:, sl])
+            vmin_ref[:, sl] = jnp.where(better, lm, vmin_ref[:, sl])
+
+    @pl.when(i == n_tiles - 1)
+    def _():
+        val_ref[:] = -2.0 * vmin_ref[:]
+        idx_ref[:] = varg_ref[:]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("tile_n", "d_real", "precision", "interpret"),
+)
+def som_blend_winner(
+    codes: jnp.ndarray,     # (n_local, D), D lane-padded
+    acc: jnp.ndarray,       # (n_local, D) summed W^T X
+    wsum: jnp.ndarray,      # (n_local, 1) summed W^T 1
+    xn: jnp.ndarray,        # (B', D) next batch
+    tile_n: int = 512,
+    d_real: Optional[int] = None,
+    precision=None,
+    interpret: Optional[bool] = None,
+):
+    """(codes', val (B',), local_idx (B',)) = blend + next-batch winner
+    in one pass over the codebook — the Pallas pass B of
+    parallel.sharded.make_mixed_fused_som_train_step."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    n_local, D = codes.shape
+    Bn = xn.shape[0]
+    tile_n = min(tile_n, _round_up(n_local, 8))
+    if n_local % tile_n != 0:
+        raise ValueError(
+            f"som_blend_winner: n_local={n_local} must be a multiple of "
+            f"tile_n={tile_n}")
+    BC = Bn if Bn <= 2048 else math.gcd(Bn, 2048)
+    n_tiles = n_local // tile_n
+    codes_new, val, idx = pl.pallas_call(
+        functools.partial(
+            _som_blend_winner_kernel, tile_n=tile_n, d_real=d_real,
+            precision=precision, n_tiles=n_tiles, batch_chunk=BC,
+        ),
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((tile_n, D), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, D), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bn, D), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile_n, D), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Bn), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Bn), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_local, D), codes.dtype),
+            jax.ShapeDtypeStruct((1, Bn), jnp.float32),
+            jax.ShapeDtypeStruct((1, Bn), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1, Bn), jnp.float32),
+            pltpu.VMEM((1, Bn), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Bn * n_local * (d_real or D),
+            bytes_accessed=(3 * n_local * D + Bn * D + n_local) * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(acc, wsum, codes, xn)
+    return codes_new, val[0, :], idx[0, :]
+
+
 def som_neighborhood_update(
     codes: jnp.ndarray,
     xb: jnp.ndarray,

@@ -569,19 +569,17 @@ def make_mixed_fused_som_train_step(
         if dp > 1:
             acc = jax.lax.psum(acc, "data")
             wsum = jax.lax.psum(wsum, "data")
-        newc = _guarded_sum_update(codes_l, acc, wsum)
-        # next batch shard's winner against the updated local rows
+        # pass B: blend + next batch shard's winner in ONE codebook pass
         if use_pallas and jax.default_backend() != "cpu":
-            from ..ops.pallas_distance import dist_argmin
+            from ..ops.pallas_som import som_blend_winner
 
-            if d_real is not None:
-                val_l, idx_l = dist_argmin(xn_l[:, :d_real],
-                                           newc[:, :d_real])
-            else:
-                val_l, idx_l = dist_argmin(xn_l, newc)
+            newc, val_l, idx_l = som_blend_winner(
+                codes_l, acc, wsum, xn_l,
+                tile_n=min(tile_n, n_local), d_real=d_real)
         else:
             from ..ops.distance import find_winners
 
+            newc = _guarded_sum_update(codes_l, acc, wsum)
             idx_l, val_l = find_winners(xn_l, newc)
         gidx_l = idx_l.astype(jnp.int32) + off
         vals = jax.lax.all_gather(val_l, "model")    # (S, Bl)
