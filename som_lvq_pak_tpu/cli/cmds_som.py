@@ -169,8 +169,11 @@ def cmd_qerror(scanner: ArgScanner, progname: str) -> int:
     else:
         qerror = som.find_qerror(codes, data, mode=mode)
     if buffer > 0:
-        # sample count comes from the stream (empties already skipped)
-        nod = sum(c.n for c in data.chunks(laps=1))
+        # sample count recorded by the evaluation's own lap over the
+        # stream (empties already skipped) — no second file pass
+        nod = getattr(data, "entries_last_lap", None)
+        if nod is None:
+            nod = sum(c.n for c in data.chunks(laps=1))
     else:
         nod = data.n
     per_sample = np.float32(qerror) / np.float32(nod)

@@ -84,6 +84,7 @@ class StreamingReader:
         from .io import read_data
         import io as _io
 
+        n_seen = 0
         f = _open_read(self.name)  # rewind = re-open (fileio.c:383-426)
         try:
             # skip past the header
@@ -106,10 +107,18 @@ class StreamingReader:
                     continue
                 lines.append(raw)
                 if len(lines) >= self.buffer:
-                    yield self._parse_chunk(lines)
+                    chunk = self._parse_chunk(lines)
+                    n_seen += chunk.n
+                    yield chunk
                     lines = []
             if lines:
-                yield self._parse_chunk(lines)
+                chunk = self._parse_chunk(lines)
+                n_seen += chunk.n
+                yield chunk
+            # entry count of the last COMPLETE lap (empties excluded) —
+            # lets one-lap consumers (CLI qerror) report the sample
+            # count without a second pass over the file
+            self.entries_last_lap = n_seen
         finally:
             if hasattr(f, "close"):
                 f.close()

@@ -129,6 +129,27 @@ def main():
     case("som_fused_chunked[B4096,tile256,bc1024,noStag]",
          lambda: chunked(4096, 256, 1024, False, True))
 
+    # --- mixed-mesh pass kernels: accumulate (no codebook I/O) and
+    # blend+winner, at the production geometry
+    def mixed_passes():
+        from som_lvq_pak_tpu.ops.pallas_som import (
+            som_blend_winner,
+            som_neighborhood_accumulate,
+        )
+
+        codes = jax.random.normal(k1, (65536, 128), jnp.float32)
+        xb = jax.random.normal(k2, (1024, 128), jnp.float32)
+        _, bmu0 = dist_argmin(xb, codes)
+        acc, wsum = som_neighborhood_accumulate(
+            xb, bmu0, 65536, 256, True, jnp.float32(0.02),
+            jnp.float32(3.0), gaussian=True, tile_n=512)
+        c2, val, idx = som_blend_winner(codes, acc, wsum, xb,
+                                        tile_n=512, d_real=64)
+        assert np.isfinite(np.asarray(c2)).all()
+        assert (np.asarray(idx) >= 0).all()
+
+    case("mixed_passes[accumulate+blend_winner,65536]", mixed_passes)
+
     # --- fused TP step (shard_map + pallas with a traced unit offset)
     def fused_tp():
         from jax.sharding import NamedSharding, PartitionSpec as P
