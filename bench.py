@@ -255,6 +255,62 @@ def prep_olvq1(codes0, xb):
     return lambda: slope_time(chain)
 
 
+def run_e2e_1m_65k():
+    """The BASELINE.md north-star workload, literally: a 256x256 hexa
+    gaussian map (65,536 codes) trained over 1,000,000 synthetic 64-dim
+    vectors (one lap, B=4096 through the batch-chunked fused kernel),
+    then the fast qerror over all 1M vectors.  Wall numbers include host
+    streaming + tunnel transfers (~256 MB each way); compiles excluded
+    via a warmup fit/eval."""
+    from som_lvq_pak_tpu.data.dataset import Dataset, Neighborhood, Topology
+    from som_lvq_pak_tpu.models.som import find_qerror, randinit
+    from som_lvq_pak_tpu.models.trainer import SOMTrainer
+    from som_lvq_pak_tpu.utils.rng import CRandom
+
+    rng = np.random.default_rng(7)
+    centers = rng.normal(0, 4.0, size=(16, 64)).astype(np.float32)
+    NTOT = 1_000_000
+    X = (centers[rng.integers(0, 16, size=NTOT)]
+         + rng.normal(0, 1.0, size=(NTOT, 64)).astype(np.float32))
+    data = Dataset(points=X)
+    crng = CRandom()
+    crng.init_random(123)
+    codes = randinit(data, topol=Topology.HEXA, neigh=Neighborhood.GAUSSIAN,
+                     xdim=256, ydim=256, rng=crng)
+
+    def stream(total):
+        chunk = 16384
+        sent = 0
+        while sent < total:
+            lo = sent % NTOT
+            hi = min(lo + chunk, NTOT)
+            yield Dataset(points=X[lo:hi])
+            sent += hi - lo
+
+    bs = 4096
+    warm = SOMTrainer(codes, batch_size=bs, use_pallas=True)
+    wout = warm.fit(stream(2 * bs), rlen=2 * bs, alpha=0.05, radius=64,
+                    allow_short_stream=True)
+    find_qerror(wout, Dataset(points=X[:65536]), mode="fast")
+
+    trainer = SOMTrainer(codes, batch_size=bs, use_pallas=True)
+    t0 = time.perf_counter()
+    out = trainer.fit(stream(NTOT), rlen=NTOT, alpha=0.05, radius=64,
+                      allow_short_stream=True)
+    t_train = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    q = find_qerror(out, data, mode="fast") / data.n
+    t_eval = time.perf_counter() - t0
+    steps = NTOT // bs
+    return {
+        "train_s": round(t_train, 2),
+        "qerror_eval_s": round(t_eval, 2),
+        "qerror_per_sample": round(q, 4),
+        "evals_per_s": round(steps * bs * 65536 / t_train),
+        "shape": "256x256 hexa gaussian map, 1M x 64-dim streamed, 1 lap",
+    }
+
+
 def prep_sharded(codes0, xb):
     """TP+DP sharded step on a 1-device mesh: records the shard_map +
     collective machinery overhead on real hardware (multi-chip execution
@@ -907,6 +963,17 @@ def main():
             extra["e2e_128x128_100k"] = f"failed: {type(e).__name__}"
     else:
         extra["e2e_128x128_100k"] = "skipped (time budget)"
+
+    # the literal BASELINE.md north-star (1M x 65k): the most expensive
+    # extra — runs only with generous budget left (~4 min incl. its own
+    # compiles and ~0.5 GB of tunnel transfers)
+    if time.perf_counter() - t_meas < budget_s - 240:
+        try:
+            extra["e2e_256x256_1M"] = run_e2e_1m_65k()
+        except Exception as e:
+            extra["e2e_256x256_1M"] = f"failed: {type(e).__name__}"
+    else:
+        extra["e2e_256x256_1M"] = "skipped (time budget)"
 
     # (the r3 budget-end re-measure is gone: it produced a headline step
     # from a different chip phase than the derived metrics — the

@@ -439,10 +439,18 @@ def find_qerror(codes: Dataset, data: Dataset, mode: str = "parity") -> float:
             for chunk in data.chunks(laps=1):
                 q = _qerror_parity_accum(q, codes, chunk)
             return float(q)
-        total = 0.0
+        # fast: device-resident codebook/norms/total threaded across the
+        # stream's chunks — one codebook upload and ONE host fetch for
+        # the whole streamed evaluation
+        import jax.numpy as jnp
+
+        M = jnp.asarray(codes.points)
+        m2 = jnp.sum(M.astype(jnp.float32) ** 2, axis=-1)
+        total = jnp.zeros((), jnp.float32)
         for chunk in data.chunks(laps=1):
-            total += find_qerror(codes, chunk, mode=mode)
-        return total
+            total = _find_qerror_fast(codes, chunk, M=M, m2=m2,
+                                      total=total, as_array=True)
+        return float(total)
     if mode == "parity":
         return float(_qerror_parity_accum(F32(0.0), codes, data))
     return _find_qerror_fast(codes, data)
@@ -460,7 +468,8 @@ def _qerror_parity_accum(q, codes: Dataset, data: Dataset):
     return q
 
 
-def _find_qerror_fast(codes: Dataset, data: Dataset) -> float:
+def _find_qerror_fast(codes: Dataset, data: Dataset, M=None, m2=None,
+                      total=None, as_array: bool = False):
     import jax.numpy as jnp
 
     # ONE host fetch for the whole evaluation: every chunk's partial sum
@@ -477,9 +486,12 @@ def _find_qerror_fast(codes: Dataset, data: Dataset) -> float:
     # the full chunk size (padded rows zeroed via the validity vector)
     # so every chunk shares one compiled shape.
     chunk = int(min(max(8, data.n), 16384))
-    M = jnp.asarray(codes.points)
-    m2 = jnp.sum(M.astype(jnp.float32) ** 2, axis=-1)
-    total = jnp.zeros((), jnp.float32)
+    if M is None:
+        M = jnp.asarray(codes.points)
+    if m2 is None:
+        m2 = jnp.sum(M.astype(jnp.float32) ** 2, axis=-1)
+    if total is None:
+        total = jnp.zeros((), jnp.float32)
     for s in range(0, data.n, chunk):
         e = min(s + chunk, data.n)
         m = e - s
@@ -500,7 +512,7 @@ def _find_qerror_fast(codes: Dataset, data: Dataset) -> float:
             xs = jnp.asarray(data.points[s:e])
             xm = None if data.mask is None else jnp.asarray(data.mask[s:e])
         total = _qerror_chunk_step(total, xs, jnp.asarray(valid_np), M, m2, xm)
-    return float(total)
+    return total if as_array else float(total)
 
 
 _QERROR_STEP = None

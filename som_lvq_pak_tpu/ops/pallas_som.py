@@ -427,9 +427,13 @@ def _som_blend_winner_kernel(
     newc = _guarded_blend(codes_ref[:].astype(jnp.float32), acc_ref[:],
                           wsum_ref[:])
     out_ref[:] = newc.astype(out_ref.dtype)
-    m2h = 0.5 * jnp.sum(newc * newc, axis=1, keepdims=True)  # (TN, 1)
-    cw = (newc[:, :d_real] if d_real is not None else newc
-          ).astype(xn_ref.dtype)
+    # norm over the same lanes as the contraction: with d_real the
+    # padded lanes are excluded on BOTH sides (they are zero in
+    # production; slicing keeps score = x.m - ||m||^2/2 self-consistent
+    # even if a caller blends mass into them)
+    nw = newc[:, :d_real] if d_real is not None else newc
+    m2h = 0.5 * jnp.sum(nw * nw, axis=1, keepdims=True)      # (TN, 1)
+    cw = nw.astype(xn_ref.dtype)
     for c in range(Bn // BC):
         sl = pl.ds(c * BC, BC)
         xw = (xn_ref[sl, :d_real] if d_real is not None
@@ -623,17 +627,16 @@ def _som_fused_step_kernel(
     # ||m||^2 are a (TN, 1) sublane vector broadcasting along lanes —
     # the (TN,) -> (1, TN) cross-lane relayout of the row-major form
     # crashes/OOMs the Mosaic compiler inside this fused kernel.
-    m2 = jnp.sum(newc * newc, axis=1, keepdims=True)     # (TN, 1)
+    # norm over the same lanes as the contraction (padded lanes are zero
+    # in production; the slice keeps the partial distance self-consistent)
+    nw = newc[:, :d_real] if d_real is not None else newc
+    m2 = jnp.sum(nw * nw, axis=1, keepdims=True)         # (TN, 1)
     if noc is not None:
         # padded codebook rows (global index >= noc) can never win
         gidx = i * tile_n + jax.lax.broadcasted_iota(jnp.int32, (tile_n, 1), 0)
         m2 = jnp.where(gidx < noc, m2, jnp.inf)
-    if d_real is not None:
-        cw = newc[:, :d_real]
-        xw = xn_ref[:, :d_real]
-    else:
-        cw = newc
-        xw = xn_ref[:]
+    cw = nw
+    xw = xn_ref[:, :d_real] if d_real is not None else xn_ref[:]
     mx = jax.lax.dot_general(
         cw.astype(xn_ref.dtype), xw,
         (((1,), (1,)), ((), ())),
@@ -864,12 +867,13 @@ def _som_fused_factored_kernel(
     # winner search against the updated tile, in max-score form:
     # argmin(||m||^2 - 2 x.m) == argmax(x.m - ||m||^2/2), saving the
     # d = m2 - 2*mx materialization pass (score = mx - h2 is one op)
-    m2h = 0.5 * jnp.sum(newc * newc, axis=1, keepdims=True)   # (TN, 1)
+    nw = newc[:, :d_real] if d_real is not None else newc
+    m2h = 0.5 * jnp.sum(nw * nw, axis=1, keepdims=True)       # (TN, 1)
     if d_real is not None:
-        cw = newc[:, :d_real]
+        cw = nw
         xw = xn_ref[:, :d_real]
     else:
-        cw = newc
+        cw = nw
         xw = xn_ref[:]
     mx = jax.lax.dot_general(
         cw.astype(xn_ref.dtype), xw,
@@ -1060,10 +1064,9 @@ def _som_fused_factored_chunked_kernel(
         return newc
 
     def winner_prep(newc):
-        m2h = 0.5 * jnp.sum(newc * newc, axis=1, keepdims=True)  # (TN, 1)
-        cw = (newc[:, :d_real] if d_real is not None else newc
-              ).astype(xn_ref.dtype)
-        return cw, m2h
+        nw = newc[:, :d_real] if d_real is not None else newc
+        m2h = 0.5 * jnp.sum(nw * nw, axis=1, keepdims=True)  # (TN, 1)
+        return nw.astype(xn_ref.dtype), m2h
 
     def flush_outputs(j):
         @pl.when(j == n_tiles - 1)

@@ -448,3 +448,40 @@ def test_fused_chunked_stagger_kernel_matches_factored():
         assert agree >= 0.995, (agree, xdim, ydim, gaussian, bc, stag)
         np.testing.assert_allclose(np.asarray(v1), np.asarray(v0),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_blend_winner_kernel_matches_oracle():
+    """som_blend_winner (pass B of the mixed-mesh step): guarded blend +
+    next-batch winner in one pass == the two-step oracle, including the
+    d_real winner slice and row-padded val contract."""
+    from som_lvq_pak_tpu.ops.pallas_som import som_blend_winner
+
+    k1, k2, k3, k4 = jax.random.split(jax.random.PRNGKey(2), 4)
+    n, D, B = 128, 128, 192
+    codes = jax.random.normal(k1, (n, D))
+    acc = jax.random.normal(k2, (n, D)) * 0.1
+    wsum = jax.random.uniform(k3, (n, 1)) * 2
+    xn = jax.random.normal(k4, (B, D))
+    for d_real in (None, 64):
+        cs, xs = codes, xn
+        if d_real is not None:
+            cs = cs.at[:, d_real:].set(0.0)
+            xs = xs.at[:, d_real:].set(0.0)
+        c2, val, idx = som_blend_winner(cs, acc, wsum, xs, tile_n=32,
+                                        d_real=d_real)
+        safe = jnp.maximum(wsum, 1e-30)
+        ref = cs + jnp.minimum(wsum, 1.0) * (acc / safe - cs)
+        if d_real is not None:
+            # blended padded lanes carry acc mass; the winner ignores
+            # them via the d_real slice — compare on real lanes
+            d = (jnp.sum(ref[:, :d_real] ** 2, axis=1)[None, :]
+                 - 2 * xs[:, :d_real] @ ref[:, :d_real].T)
+        else:
+            d = jnp.sum(ref * ref, axis=1)[None, :] - 2 * xs @ ref.T
+        iref = jnp.argmin(d, axis=1)
+        np.testing.assert_allclose(np.asarray(c2), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(idx), np.asarray(iref))
+        np.testing.assert_allclose(np.asarray(val),
+                                   np.asarray(jnp.min(d, axis=1)),
+                                   rtol=1e-4, atol=1e-4)
