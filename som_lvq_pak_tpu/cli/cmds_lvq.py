@@ -247,8 +247,34 @@ def cmd_classify(scanner: ArgScanner, progname: str) -> int:
     in_data_file = scanner.get("-din", ALWAYS)
     in_code_file = scanner.get("-cin", ALWAYS)
     cfout = scanner.get("-cfout", OPTION)
+    buffer = scanner.get_int("-buffer", 0, OPTION)
     out_data_file = scanner.get("-dout", ALWAYS)
 
+    if buffer > 0:
+        from ..data.io import write_data_chunks
+        from ..data.streaming import StreamingReader
+
+        data = StreamingReader(in_data_file, buffer, skip_empty=False)
+        codes = load_data(in_code_file, "codes")
+        if data.dim != codes.dim:
+            err("Data and codebook vectors have different dimensions")
+        cf = open(cfout, "w") if cfout is not None else None
+        try:
+            def chunks():
+                for c in data.chunks(laps=1):
+                    out_c, names = ev.classify(c, codes)
+                    if cf is not None:
+                        for name in names:
+                            cf.write("%s\n" % name)
+                    yield out_c
+            if ifverbose(2):
+                sys.stderr.write(
+                    "Data entries are saved to file %s\n" % out_data_file)
+            write_data_chunks(chunks(), out_data_file)
+        finally:
+            if cf is not None:
+                cf.close()
+        return 0
     data = load_data(in_data_file, "data", skip_empty=False)
     codes = load_data(in_code_file, "codes")
     if data.dim != codes.dim:
@@ -274,9 +300,15 @@ def cmd_knntest(scanner: ArgScanner, progname: str) -> int:
     in_data_file = scanner.get("-din", ALWAYS)
     in_code_file = scanner.get("-cin", ALWAYS)
     knn = scanner.get_int("-knn", 5, OPTION)
+    buffer = scanner.get_int("-buffer", 0, OPTION)
     mode = "fast" if scanner.get("-fast", OPTION2) is not None else "parity"
 
-    data = load_data(in_data_file, "data")
+    if buffer > 0:
+        from ..data.streaming import StreamingReader
+
+        data = StreamingReader(in_data_file, buffer)
+    else:
+        data = load_data(in_data_file, "data")
     codes = load_data(in_code_file, "codes")
     if data.dim != codes.dim:
         err("Data and codebook vectors have different dimensions")
@@ -331,9 +363,15 @@ def cmd_mcnemar(scanner: ArgScanner, progname: str) -> int:
 def cmd_cmatr(scanner: ArgScanner, progname: str) -> int:
     in_data_file = scanner.get("-din", ALWAYS)
     in_code_file = scanner.get("-cin", ALWAYS)
+    buffer = scanner.get_int("-buffer", 0, OPTION)
     cfout = scanner.get("-cfout", OPTION)
 
-    data = load_data(in_data_file, "data")
+    if buffer > 0:
+        from ..data.streaming import StreamingReader
+
+        data = StreamingReader(in_data_file, buffer)
+    else:
+        data = load_data(in_data_file, "data")
     codes = load_data(in_code_file, "codes")
     if data.dim != codes.dim:
         err("Data and codebook vectors have different dimensions")

@@ -196,10 +196,15 @@ def cmd_vcal(scanner: ArgScanner, progname: str) -> int:
     in_data_file = scanner.get("-din", ALWAYS)
     in_code_file = scanner.get("-cin", ALWAYS)
     out_code_file = scanner.get("-cout", ALWAYS)
-    scanner.get_int("-buffer", 0, OPTION)
+    buffer = scanner.get_int("-buffer", 0, OPTION)
     numlabs = scanner.get_int("-numlabs", 1, OPTION)
 
-    data = load_data(in_data_file, "data")
+    if buffer > 0:
+        from ..data.streaming import StreamingReader
+
+        data = StreamingReader(in_data_file, buffer)
+    else:
+        data = load_data(in_data_file, "data")
     codes = load_data(in_code_file, "codes")
     require_map(codes, in_code_file)
     require_same_dim(data, codes)
@@ -218,9 +223,26 @@ def cmd_visual(scanner: ArgScanner, progname: str) -> int:
     in_data_file = scanner.get("-din", ALWAYS)
     in_code_file = scanner.get("-cin", ALWAYS)
     out_data_file = scanner.get("-dout", ALWAYS)
-    scanner.get_int("-buffer", 0, OPTION)
+    buffer = scanner.get_int("-buffer", 0, OPTION)
     noskip = scanner.get("-noskip", OPTION2) is not None
 
+    if buffer > 0:
+        from ..data.io import write_data_chunks
+        from ..data.streaming import StreamingReader
+
+        data = StreamingReader(in_data_file, buffer,
+                               skip_empty=not noskip)
+        codes = load_data(in_code_file, "codes")
+        require_map(codes, in_code_file)
+        require_same_dim(data, codes)
+        if ifverbose(2):
+            sys.stderr.write(
+                "Output entries are saved to file %s\n" % out_data_file)
+        # per-sample output: stream chunk results straight to the file
+        write_data_chunks(
+            (tools.visual(codes, c) for c in data.chunks(laps=1)),
+            out_data_file)
+        return 0
     data = load_data(in_data_file, "data", skip_empty=not noskip)
     codes = load_data(in_code_file, "codes")
     require_map(codes, in_code_file)

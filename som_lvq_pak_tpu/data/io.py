@@ -357,6 +357,47 @@ def write_data(
             f.close()
 
 
+def write_data_chunks(
+    chunks,
+    name: str,
+    labels: Optional[LabelTable] = None,
+    comments: Optional[str] = None,
+) -> int:
+    """Incremental writer for streamed pipelines: `chunks` yields
+    Datasets sharing one header; the header comes from the first chunk
+    and entries append as chunks arrive — output is byte-identical to
+    write_data of the concatenation, with only one chunk resident.
+    Returns the number of entries written."""
+    f = _open_write(name)
+    close = f is not sys.stdout
+    n = 0
+    try:
+        first = True
+        for ds in chunks:
+            if first:
+                f.write(format_header(ds) + "\n")
+                if comments:
+                    f.write(comments if comments.endswith("\n")
+                            else comments + "\n")
+                first = False
+            wrote = False
+            if _use_native():
+                from . import native_io
+
+                text = native_io.format_entries_native(ds, labels=labels)
+                if text is not None:
+                    f.write(text)
+                    wrote = True
+            if not wrote:
+                for i in range(ds.n):
+                    f.write(format_entry(ds, i, labels) + "\n")
+            n += ds.n
+    finally:
+        if close:
+            f.close()
+    return n
+
+
 # --- olvq1 learning-rate sidecar files (.lra) ---------------------------
 def _alpha_basename(filename: str) -> str:
     """Replicates `strtok(basename, "."); strcat(basename, ".lra")`

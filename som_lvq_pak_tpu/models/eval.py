@@ -129,23 +129,36 @@ def knn_accuracy(
     table = labels if labels is not None else GLOBAL_LABELS
     if knn < 1:
         knn = 1
-    from ..ops.distance import pairwise_topk_mode
 
-    idx, _ = pairwise_topk_mode(data.points, codes.points, knn, data.mask,
-                                mode=mode)
-    clabels = codes.first_labels()
-    neigh = clabels[idx]
-    num = int(max(clabels.max(initial=0), data.first_labels().max(initial=0))) + 1
-    votes = majority_label_matrix(neigh, num)
-    dlabels = data.first_labels()
-    ok = votes == dlabels
+    def votes_ok(block: Dataset):
+        from ..ops.distance import pairwise_topk_mode
+
+        idx, _ = pairwise_topk_mode(block.points, codes.points, knn,
+                                    block.mask, mode=mode)
+        clabels = codes.first_labels()
+        neigh = clabels[idx]
+        num = int(max(clabels.max(initial=0),
+                      block.first_labels().max(initial=0))) + 1
+        votes = majority_label_matrix(neigh, num)
+        dl = block.first_labels()
+        return dl, votes == dl
+
+    if hasattr(data, "_chunks_one_lap"):  # StreamingReader (bounded RSS)
+        parts = [votes_ok(c) for c in data.chunks(laps=1)]
+        dlabels = (np.concatenate([p[0] for p in parts]) if parts
+                   else np.zeros((0,), np.int32))
+        ok = (np.concatenate([p[1] for p in parts]) if parts
+              else np.zeros((0,), bool))
+        total = int(dlabels.shape[0])
+    else:
+        dlabels, ok = votes_ok(data)
+        total = data.n
 
     correct, totals = Hitlist(), Hitlist()
     for lab, o in zip(dlabels.tolist(), ok.tolist()):
         if o:
             correct.add_hit(lab)
         totals.add_hit(lab)
-    total = data.n
     stotal = int(ok.sum())
 
     lines = ["", "Recognition accuracy:", ""]
@@ -172,28 +185,37 @@ def confusion_matrix(
     -cfout 0/1 stream over the valid (not all-masked) samples
     (cmatr.c:96-106)."""
     table = labels if labels is not None else GLOBAL_LABELS
-    dlabels = data.first_labels()
-    wlabels = _winner_labels(data, codes, parity)
-    if data.mask is not None:
-        valid = ~data.mask.all(axis=1)
-    else:
-        valid = np.ones(data.n, dtype=bool)
-
     correct, totals, confusion = Hitlist(), Hitlist(), Hitlist()
     stotal = total = 0
     ok: List[int] = []
-    for dl, wl, v in zip(dlabels.tolist(), wlabels.tolist(), valid.tolist()):
-        if not v:
-            continue
-        if dl == wl:
-            stotal += 1
-            correct.add_hit(dl)
-            ok.append(1)
+
+    def tally(block: Dataset):
+        nonlocal stotal, total
+        dlabels = block.first_labels()
+        wlabels = _winner_labels(block, codes, parity)
+        if block.mask is not None:
+            valid = ~block.mask.all(axis=1)
         else:
-            ok.append(0)
-        confusion.add_hit(dl * 65536 + wl)
-        totals.add_hit(dl)
-        total += 1
+            valid = np.ones(block.n, dtype=bool)
+        for dl, wl, v in zip(dlabels.tolist(), wlabels.tolist(),
+                             valid.tolist()):
+            if not v:
+                continue
+            if dl == wl:
+                stotal += 1
+                correct.add_hit(dl)
+                ok.append(1)
+            else:
+                ok.append(0)
+            confusion.add_hit(dl * 65536 + wl)
+            totals.add_hit(dl)
+            total += 1
+
+    if hasattr(data, "_chunks_one_lap"):  # StreamingReader (bounded RSS)
+        for chunk in data.chunks(laps=1):
+            tally(chunk)
+    else:
+        tally(data)
 
     lines = ["", "Recognition accuracy:", ""]
     for lab, tot in totals.items():

@@ -74,17 +74,12 @@ def vcal(
     unit hit-less units end up with no labels."""
     if numlabs < 0:
         numlabs = 0
-    d = exact.pairwise_sq_distances(data.points, codes.points, data.mask)
-    bmu = d.argmin(axis=1)
-    if data.mask is not None:
-        valid = ~data.mask.all(axis=1)
-    else:
-        valid = np.ones(data.n, dtype=bool)
-    dlabels = data.first_labels()
     hits = [Hitlist() for _ in range(codes.n)]
-    for i in range(data.n):
-        if valid[i] and dlabels[i] != LABEL_EMPTY:
-            hits[int(bmu[i])].add_hit(int(dlabels[i]))
+    if hasattr(data, "_chunks_one_lap"):  # StreamingReader (bounded RSS)
+        for chunk in data.chunks(laps=1):
+            _vcal_accum(hits, codes, chunk)
+    else:
+        _vcal_accum(hits, codes, data)
     width = max(1, max((len(h) if numlabs == 0 else min(len(h), numlabs)) for h in hits))
     labs = np.zeros((codes.n, width), dtype=np.int32)
     for u, h in enumerate(hits):
@@ -93,6 +88,21 @@ def vcal(
         for k in range(n):
             labs[u, k] = items[k][0]
     return replace(codes, labels=labs, comments=[])
+
+
+def _vcal_accum(hits, codes: Dataset, data: Dataset) -> None:
+    """Fold one data block's BMU hits into the per-unit hitlists
+    (the streamable inner loop of find_labels, vcal.c:45-167)."""
+    d = exact.pairwise_sq_distances(data.points, codes.points, data.mask)
+    bmu = d.argmin(axis=1)
+    if data.mask is not None:
+        valid = ~data.mask.all(axis=1)
+    else:
+        valid = np.ones(data.n, dtype=bool)
+    dlabels = data.first_labels()
+    for i in range(data.n):
+        if valid[i] and dlabels[i] != LABEL_EMPTY:
+            hits[int(bmu[i])].add_hit(int(dlabels[i]))
 
 
 def visual(

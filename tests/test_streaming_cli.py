@@ -153,3 +153,46 @@ def test_streamed_samples_order_matches_sample_order(ref_dir):
             cur = chunk
         got.append((base + s) % n)
     np.testing.assert_array_equal(want, np.asarray(got, dtype=np.int32))
+
+
+def test_streamed_tools_match_full(ref_dir, golden_dir, tmp_path):
+    """visual/vcal/classify/knntest/cmatr through -buffer produce
+    byte-identical output to their full-load runs."""
+    os.chdir(tmp_path)
+    som_cod = f"{golden_dir}/som_buf.cod"
+    lvq_cod = f"{golden_dir}/lvq_obuf.cod"
+    # visual: per-sample streamed writes
+    rc, _ = run("visual", "-din", f"{ref_dir}/ex.dat", "-cin", som_cod,
+                "-dout", "v_full.dat")
+    rc2, _ = run("visual", "-din", f"{ref_dir}/ex.dat", "-cin", som_cod,
+                 "-dout", "v_buf.dat", "-buffer", 700)
+    assert rc == 0 and rc2 == 0
+    assert open("v_full.dat").read() == open("v_buf.dat").read()
+    # vcal: accumulated unit hitlists
+    rc, _ = run("vcal", "-din", f"{ref_dir}/ex_fts.dat", "-cin", som_cod,
+                "-cout", "c_full.cod")
+    rc2, _ = run("vcal", "-din", f"{ref_dir}/ex_fts.dat", "-cin", som_cod,
+                 "-cout", "c_buf.cod", "-buffer", 100)
+    assert rc == 0 and rc2 == 0
+    assert open("c_full.cod").read() == open("c_buf.cod").read()
+    # classify: streamed entry + cfout writes
+    rc, _ = run("classify", "-din", f"{ref_dir}/ex2.dat", "-cin", lvq_cod,
+                "-dout", "cl_full.dat", "-cfout", "cl_full.cfo")
+    rc2, _ = run("classify", "-din", f"{ref_dir}/ex2.dat", "-cin", lvq_cod,
+                 "-dout", "cl_buf.dat", "-cfout", "cl_buf.cfo",
+                 "-buffer", 321)
+    assert rc == 0 and rc2 == 0
+    assert open("cl_full.dat").read() == open("cl_buf.dat").read()
+    assert open("cl_full.cfo").read() == open("cl_buf.cfo").read()
+    # knntest + cmatr: accumulated tallies -> identical reports
+    rc, full_k = run("knntest", "-din", f"{ref_dir}/ex2.dat",
+                     "-cin", lvq_cod, "-knn", 3)
+    rc2, buf_k = run("knntest", "-din", f"{ref_dir}/ex2.dat",
+                     "-cin", lvq_cod, "-knn", 3, "-buffer", 500)
+    assert rc == 0 and rc2 == 0
+    assert full_k == buf_k
+    rc, full_c = run("cmatr", "-din", f"{ref_dir}/ex2.dat", "-cin", lvq_cod)
+    rc2, buf_c = run("cmatr", "-din", f"{ref_dir}/ex2.dat", "-cin", lvq_cod,
+                     "-buffer", 500)
+    assert rc == 0 and rc2 == 0
+    assert full_c == buf_c

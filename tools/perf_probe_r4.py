@@ -56,19 +56,11 @@ def mxu_probe():
 
 CONFIGS = [
     ("r3_B2048_t256_dual", 2048, dict(tile_n=256, factored=True, d_real=64)),
-    ("sepy_B2048", 2048, dict(tile_n=256, factored=True, d_real=64,
-                              batch_chunk=2048, separable_y=True)),
     ("chk_B4096_bc1024", 4096, dict(tile_n=256, factored=True, d_real=64,
                                     batch_chunk=1024, wxa_bf16=True)),
-    ("sepy_B4096_bc1024", 4096, dict(tile_n=256, factored=True, d_real=64,
-                                     batch_chunk=1024, wxa_bf16=True,
-                                     separable_y=True)),
     ("chk_B8192_bc1024_bf16", 8192, dict(
         tile_n=256, factored=True, d_real=64, batch_chunk=1024,
         wxa_bf16=True, batch_bf16=True)),
-    ("sepy_B8192_bc1024_bf16", 8192, dict(
-        tile_n=256, factored=True, d_real=64, batch_chunk=1024,
-        wxa_bf16=True, batch_bf16=True, separable_y=True)),
 ]
 
 def main():
