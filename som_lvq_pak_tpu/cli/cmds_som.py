@@ -101,8 +101,42 @@ def cmd_vsom(scanner: ArgScanner, progname: str) -> int:
     fixed = scanner.get("-fixed", OPTION2) is not None
     weights = scanner.get("-weights", OPTION2) is not None
     buffer = scanner.get_int("-buffer", 0, OPTION)
+    # -fast (extension): minibatch training through SOMTrainer's fused
+    # Pallas pipeline — the TPU throughput path (quality contract, not
+    # the C byte contract; batch size via -batch, default 1024)
+    fast = scanner.get("-fast", OPTION2) is not None
+    batch = scanner.get_int("-batch", 1024, OPTION)
     alpha_type = get_alpha_type(scanner)
     snapshot = get_snapshot_opts(scanner, out_code_file, rlen)
+
+    if fast:
+        from ..models.trainer import SOMTrainer
+
+        codes = load_data(in_code_file, "codes")
+        require_map(codes, in_code_file)
+        if snapshot is not None and ifverbose(1):
+            sys.stderr.write(
+                "vsom: -fast uses trainer checkpoints, not snapshots\n")
+        tr = SOMTrainer(codes, batch_size=max(1, batch), use_pallas=True,
+                        seed=rng.state % (1 << 31))
+        if buffer > 0:
+            from ..data.streaming import StreamingReader
+
+            reader = StreamingReader(in_data_file, buffer)
+            require_same_dim(reader, codes)
+            out = tr.fit(reader.chunks(laps=None), rlen, alpha, radius,
+                         alpha_type=alpha_type, use_weights=weights,
+                         use_fixed=fixed)
+        else:
+            data = load_data(in_data_file, "data")
+            require_same_dim(data, codes)
+            out = tr.fit(data, rlen, alpha, radius, alpha_type=alpha_type,
+                         use_weights=weights, use_fixed=fixed)
+        if ifverbose(2):
+            sys.stderr.write(
+                "Codebook entries are saved to file %s\n" % out_code_file)
+        write_data(out, out_code_file)
+        return 0
 
     if buffer > 0:
         # bounded memory at ~buffer entries (LOADMODE_BUFFER,

@@ -361,3 +361,30 @@ def test_vfind_fast_degenerate_and_flag_fallback(ref_dir, tmp_path):
     a = open("wf.cod").read()
     b = open("wp.cod").read()
     assert a == b  # fell back to the identical sequential path
+
+
+def test_vsom_fast_extension(ref_dir, golden_dir, tmp_path):
+    """`vsom -fast` (extension): minibatch training through SOMTrainer's
+    fused pipeline — map learns (qerror drops vs the init), full-load
+    and streamed (-buffer) variants both run."""
+    os.chdir(tmp_path)
+    rc, _ = run("randinit", "-din", f"{ref_dir}/ex.dat", "-cout", "f0.cod",
+                "-xdim", 12, "-ydim", 8, "-topol", "hexa", "-neigh",
+                "gaussian", "-rand", 5)
+    assert rc == 0
+    rc, q0 = run("qerror", "-din", f"{ref_dir}/ex.dat", "-cin", "f0.cod",
+                 "-fast", "-v", 0)
+    rc, _ = run("vsom", "-din", f"{ref_dir}/ex.dat", "-cin", "f0.cod",
+                "-cout", "f1.cod", "-rlen", 8000, "-alpha", 0.05,
+                "-radius", 8, "-fast", "-batch", 256)
+    assert rc == 0
+    rc, q1 = run("qerror", "-din", f"{ref_dir}/ex.dat", "-cin", "f1.cod",
+                 "-fast", "-v", 0)
+    assert float(q1) < float(q0), (q0, q1)
+    rc, _ = run("vsom", "-din", f"{ref_dir}/ex.dat", "-cin", "f0.cod",
+                "-cout", "f2.cod", "-rlen", 4000, "-alpha", 0.05,
+                "-radius", 8, "-fast", "-batch", 256, "-buffer", 600)
+    assert rc == 0
+    rc, q2 = run("qerror", "-din", f"{ref_dir}/ex.dat", "-cin", "f2.cod",
+                 "-fast", "-v", 0)
+    assert float(q2) < float(q0), (q0, q2)
