@@ -87,6 +87,11 @@ def cmd_lvqtrain(scanner: ArgScanner, progname: str) -> int:
         alpha = scanner.get_float("-alpha", 0.0, ALWAYS)
         winlen = epsilon = None
 
+    # -fast (extension): minibatch training through the LVQ trainers'
+    # device path (quality contract; -batch sets the minibatch)
+    fast = scanner.get("-fast", OPTION2) is not None
+    batch = scanner.get_int("-batch", 1024, OPTION)
+
     if buffer > 0:
         # bounded memory at ~buffer entries like the reference loader
         # (LOADMODE_BUFFER, datafile.c:237-344): the trainers stream the
@@ -99,6 +104,27 @@ def cmd_lvqtrain(scanner: ArgScanner, progname: str) -> int:
         data = load_data(in_data_file, "data")
     codes = load_data(in_code_file, "codes")
     require_same_dim(data, codes)
+
+    if fast:
+        from ..models.trainer import LVQTrainer, OLVQ1Trainer
+
+        feed = (data.chunks(laps=None) if buffer > 0 else data)
+        if lvqtype == "olvq1":
+            tr = OLVQ1Trainer(codes, batch_size=max(1, batch),
+                              alpha=(alpha if alpha > 0.0 else 0.3))
+            out = tr.fit(feed, rlen)
+        else:
+            tr = LVQTrainer(codes, algorithm=lvqtype,
+                            batch_size=max(1, batch),
+                            winlen=(winlen if winlen else 0.3),
+                            epsilon=(epsilon if epsilon else 0.1))
+            out = tr.fit(feed, rlen, alpha, alpha_type=alpha_type)
+        if ifverbose(2):
+            sys.stdout.write(
+                "Codebook entries are saved to file %s\n" % out_code_file)
+        write_data(out, out_code_file)
+        _invalidate(out_code_file)
+        return 0
 
     progress = None
     if ifverbose(1) and sys.stderr.isatty():

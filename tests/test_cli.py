@@ -388,3 +388,28 @@ def test_vsom_fast_extension(ref_dir, golden_dir, tmp_path):
     rc, q2 = run("qerror", "-din", f"{ref_dir}/ex.dat", "-cin", "f2.cod",
                  "-fast", "-v", 0)
     assert float(q2) < float(q0), (q0, q2)
+
+
+def test_lvqtrain_fast_extension(ref_dir, golden_dir, tmp_path):
+    """`olvq1/lvq3 -fast` (extension): minibatch device training from
+    the CLI keeps the golden pipeline's accuracy level."""
+    os.chdir(tmp_path)
+    with open(f"{golden_dir}/lvq_b.cod") as f:
+        open("fb.cod", "w").write(f.read())
+    rc, _ = run("olvq1", "-din", f"{ref_dir}/ex1.dat", "-cin", "fb.cod",
+                "-cout", "fo.cod", "-rlen", 5000, "-fast", "-batch", 64)
+    assert rc == 0
+    rc, out = run("accuracy", "-din", f"{ref_dir}/ex2.dat", "-cin", "fo.cod")
+    assert rc == 0
+    pct = float(out.strip().splitlines()[-1].split()[-2])
+    assert pct > 88.0, out  # golden pipeline is 90.11 %
+    # lvq3 -fast with a streamed -buffer feed
+    rc, _ = run("lvq3", "-din", f"{ref_dir}/ex1.dat", "-cin", "fo.cod",
+                "-cout", "f3.cod", "-rlen", 2000, "-alpha", 0.05,
+                "-win", 0.3, "-epsilon", 0.1, "-fast", "-batch", 64,
+                "-buffer", 500)
+    assert rc == 0
+    rc, out = run("accuracy", "-din", f"{ref_dir}/ex2.dat", "-cin", "f3.cod")
+    assert rc == 0
+    pct = float(out.strip().splitlines()[-1].split()[-2])
+    assert pct > 88.0, out
