@@ -795,7 +795,7 @@ def main():
     # warmed config measures in < 1 s, so all of them normally run; the
     # only genuinely expensive entry (e2e config 4) goes last.
     t_meas = time.perf_counter()
-    budget_s = float(os.environ.get("SOMVQ_BENCH_BUDGET_S", "420"))
+    budget_s = float(os.environ.get("SOMVQ_BENCH_BUDGET_S", "600"))
 
     def measure(name, fn=None):
         fn = fn or measures.get(name)
