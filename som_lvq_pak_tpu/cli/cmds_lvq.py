@@ -467,9 +467,15 @@ def cmd_setlabel(scanner: ArgScanner, progname: str) -> int:
     in_code_file = scanner.get("-cin", ALWAYS)
     out_code_file = scanner.get("-cout", ALWAYS)
     knn = scanner.get_int("-knn", 5, OPTION)
+    buffer = scanner.get_int("-buffer", 0, OPTION)
     mode = "fast" if scanner.get("-fast", OPTION2) is not None else "parity"
 
-    data = load_data(in_data_file, "data")
+    if buffer > 0:
+        from ..data.streaming import StreamingReader
+
+        data = StreamingReader(in_data_file, buffer)
+    else:
+        data = load_data(in_data_file, "data")
     codes = load_data(in_code_file, "codes")
     if data.dim != codes.dim:
         err("Data and codebook vectors have different dimensions")

@@ -28,10 +28,46 @@ def setlabel(codes: Dataset, data: Dataset, knn: int = 5,
     """Relabel each codebook vector by kNN majority vote against the
     data (find_labels, setlabel.c:41-96 — note the codes query the data,
     with find_winner_knn tie semantics).  mode='parity' = exact C
-    accumulation order at every size; 'fast' = device path."""
+    accumulation order at every size; 'fast' = device path.
+
+    `data` may be a data.streaming.StreamingReader: the codebook stays
+    resident while the data streams refill-by-refill, each chunk's
+    per-code top-k merged into the running k best by the C insertion
+    key (distance asc, GLOBAL index desc) — per-pair distances don't
+    depend on chunking, so the merged result is EXACTLY the full-load
+    answer with bounded memory."""
     if knn < 1:
         knn = 1
     from ..ops.distance import pairwise_topk_mode
+
+    if hasattr(data, "_chunks_one_lap"):  # StreamingReader
+        run_v = np.full((codes.n, knn), np.inf, dtype=np.float64)
+        run_i = np.full((codes.n, knn), -1, dtype=np.int64)
+        run_l = np.zeros((codes.n, knn), dtype=np.int32)
+        base = 0
+        for chunk in data.chunks(laps=1):
+            k_c = min(knn, chunk.n)
+            idx, val = pairwise_topk_mode(codes.points, chunk.points, k_c,
+                                          codes.mask, mode=mode)
+            labs = chunk.first_labels()[idx]              # (noc, k_c)
+            gidx = idx.astype(np.int64) + base
+            cand_v = np.concatenate([run_v, val.astype(np.float64)], axis=1)
+            cand_i = np.concatenate([run_i, gidx], axis=1)
+            cand_l = np.concatenate([run_l, labs], axis=1)
+            # C insertion key across the whole data set: distance asc,
+            # later (higher) GLOBAL index wins exact ties — lexsort with
+            # the secondary key -index reproduces it per row
+            order = np.lexsort((-cand_i, cand_v), axis=1)[:, :knn]
+            run_v = np.take_along_axis(cand_v, order, axis=1)
+            run_i = np.take_along_axis(cand_i, order, axis=1)
+            run_l = np.take_along_axis(cand_l, order, axis=1)
+            base += chunk.n
+        new_labels = np.zeros(codes.n, dtype=np.int32)
+        for i in range(codes.n):
+            valid = run_i[i] >= 0
+            hl = Hitlist.from_labels(run_l[i][valid])
+            new_labels[i] = hl.head[0]
+        return replace(codes, labels=new_labels[:, None], comments=[])
 
     idx, _ = pairwise_topk_mode(codes.points, data.points, knn, codes.mask,
                                 mode=mode)

@@ -196,3 +196,17 @@ def test_streamed_tools_match_full(ref_dir, golden_dir, tmp_path):
                      "-buffer", 500)
     assert rc == 0 and rc2 == 0
     assert full_c == buf_c
+
+
+def test_streamed_setlabel_matches_full(ref_dir, golden_dir, tmp_path):
+    """setlabel -buffer: streamed top-k merge (C insertion key) is
+    byte-identical to the full-load run."""
+    os.chdir(tmp_path)
+    rc, _ = run("setlabel", "-din", f"{ref_dir}/ex1.dat",
+                "-cin", f"{golden_dir}/lvq_obuf.cod",
+                "-cout", "sl_full.cod", "-knn", 5)
+    rc2, _ = run("setlabel", "-din", f"{ref_dir}/ex1.dat",
+                 "-cin", f"{golden_dir}/lvq_obuf.cod",
+                 "-cout", "sl_buf.cod", "-knn", 5, "-buffer", 321)
+    assert rc == 0 and rc2 == 0
+    assert open("sl_full.cod").read() == open("sl_buf.cod").read()
