@@ -108,6 +108,8 @@ def cmd_lvqtrain(scanner: ArgScanner, progname: str) -> int:
     if fast:
         from ..models.trainer import LVQTrainer, OLVQ1Trainer
 
+        if snapshot is not None:
+            snapshot.close()  # -fast uses trainer checkpoints instead
         feed = (data.chunks(laps=None) if buffer > 0 else data)
         if lvqtype == "olvq1":
             tr = OLVQ1Trainer(codes, batch_size=max(1, batch),

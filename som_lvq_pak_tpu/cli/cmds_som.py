@@ -114,9 +114,11 @@ def cmd_vsom(scanner: ArgScanner, progname: str) -> int:
 
         codes = load_data(in_code_file, "codes")
         require_map(codes, in_code_file)
-        if snapshot is not None and ifverbose(1):
-            sys.stderr.write(
-                "vsom: -fast uses trainer checkpoints, not snapshots\n")
+        if snapshot is not None:
+            if ifverbose(1):
+                sys.stderr.write(
+                    "vsom: -fast uses trainer checkpoints, not snapshots\n")
+            snapshot.close()
         tr = SOMTrainer(codes, batch_size=max(1, batch), use_pallas=True,
                         seed=rng.state % (1 << 31))
         if buffer > 0:
