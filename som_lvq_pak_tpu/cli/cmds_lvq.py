@@ -29,6 +29,7 @@ from .common import (
     get_rand,
     get_snapshot_opts,
     load_data,
+    load_or_stream,
     require_same_dim,
     save_codes,
 )
@@ -92,16 +93,7 @@ def cmd_lvqtrain(scanner: ArgScanner, progname: str) -> int:
     fast = scanner.get("-fast", OPTION2) is not None
     batch = scanner.get_int("-batch", 1024, OPTION)
 
-    if buffer > 0:
-        # bounded memory at ~buffer entries like the reference loader
-        # (LOADMODE_BUFFER, datafile.c:237-344): the trainers stream the
-        # file refill-by-refill; order (and output) identical to full
-        # loading with the same -buffer
-        from ..data.streaming import StreamingReader
-
-        data = StreamingReader(in_data_file, buffer)
-    else:
-        data = load_data(in_data_file, "data")
+    data = load_or_stream(in_data_file, buffer)
     codes = load_data(in_code_file, "codes")
     require_same_dim(data, codes)
 
@@ -118,8 +110,9 @@ def cmd_lvqtrain(scanner: ArgScanner, progname: str) -> int:
         else:
             tr = LVQTrainer(codes, algorithm=lvqtype,
                             batch_size=max(1, batch),
-                            winlen=(winlen if winlen else 0.3),
-                            epsilon=(epsilon if epsilon else 0.1))
+                            winlen=(winlen if winlen is not None else 0.3),
+                            epsilon=(epsilon if epsilon is not None
+                                     else 0.1))
             out = tr.fit(feed, rlen, alpha, alpha_type=alpha_type)
         if ifverbose(2):
             sys.stdout.write(
@@ -245,12 +238,7 @@ def cmd_accuracy(scanner: ArgScanner, progname: str) -> int:
     buffer = scanner.get_int("-buffer", 0, OPTION)
     cfout = scanner.get("-cfout", OPTION)
 
-    if buffer > 0:
-        from ..data.streaming import StreamingReader
-
-        data = StreamingReader(in_data_file, buffer)
-    else:
-        data = load_data(in_data_file, "data")
+    data = load_or_stream(in_data_file, buffer)
     codes = load_data(in_code_file, "codes")
     if data.dim != codes.dim:
         err("Data and codebook vectors have different dimensions")
@@ -295,10 +283,17 @@ def cmd_classify(scanner: ArgScanner, progname: str) -> int:
                         for name in names:
                             cf.write("%s\n" % name)
                     yield out_c
+            import numpy as _np
+
+            from ..data.dataset import Dataset as _DS
+
+            meta = _DS(points=_np.zeros((0, data.dim), _np.float32),
+                       topol=data.topol, neigh=data.neigh,
+                       xdim=data.xdim, ydim=data.ydim)
             if ifverbose(2):
                 sys.stderr.write(
                     "Data entries are saved to file %s\n" % out_data_file)
-            write_data_chunks(chunks(), out_data_file)
+            write_data_chunks(chunks(), out_data_file, meta=meta)
         finally:
             if cf is not None:
                 cf.close()
@@ -331,12 +326,7 @@ def cmd_knntest(scanner: ArgScanner, progname: str) -> int:
     buffer = scanner.get_int("-buffer", 0, OPTION)
     mode = "fast" if scanner.get("-fast", OPTION2) is not None else "parity"
 
-    if buffer > 0:
-        from ..data.streaming import StreamingReader
-
-        data = StreamingReader(in_data_file, buffer)
-    else:
-        data = load_data(in_data_file, "data")
+    data = load_or_stream(in_data_file, buffer)
     codes = load_data(in_code_file, "codes")
     if data.dim != codes.dim:
         err("Data and codebook vectors have different dimensions")
@@ -394,12 +384,7 @@ def cmd_cmatr(scanner: ArgScanner, progname: str) -> int:
     buffer = scanner.get_int("-buffer", 0, OPTION)
     cfout = scanner.get("-cfout", OPTION)
 
-    if buffer > 0:
-        from ..data.streaming import StreamingReader
-
-        data = StreamingReader(in_data_file, buffer)
-    else:
-        data = load_data(in_data_file, "data")
+    data = load_or_stream(in_data_file, buffer)
     codes = load_data(in_code_file, "codes")
     if data.dim != codes.dim:
         err("Data and codebook vectors have different dimensions")
@@ -472,12 +457,7 @@ def cmd_setlabel(scanner: ArgScanner, progname: str) -> int:
     buffer = scanner.get_int("-buffer", 0, OPTION)
     mode = "fast" if scanner.get("-fast", OPTION2) is not None else "parity"
 
-    if buffer > 0:
-        from ..data.streaming import StreamingReader
-
-        data = StreamingReader(in_data_file, buffer)
-    else:
-        data = load_data(in_data_file, "data")
+    data = load_or_stream(in_data_file, buffer)
     codes = load_data(in_code_file, "codes")
     if data.dim != codes.dim:
         err("Data and codebook vectors have different dimensions")

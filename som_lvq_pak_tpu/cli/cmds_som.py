@@ -19,6 +19,7 @@ from .common import (
     get_rand,
     get_snapshot_opts,
     load_data,
+    load_or_stream,
     require_map,
     require_same_dim,
     save_codes,
@@ -140,15 +141,7 @@ def cmd_vsom(scanner: ArgScanner, progname: str) -> int:
         write_data(out, out_code_file)
         return 0
 
-    if buffer > 0:
-        # bounded memory at ~buffer entries (LOADMODE_BUFFER,
-        # datafile.c:237-344): som_train streams refill-by-refill;
-        # order and output identical to full loading at equal -buffer
-        from ..data.streaming import StreamingReader
-
-        data = StreamingReader(in_data_file, buffer)
-    else:
-        data = load_data(in_data_file, "data")
+    data = load_or_stream(in_data_file, buffer)
     codes = load_data(in_code_file, "codes")
     require_map(codes, in_code_file)
     require_same_dim(data, codes)
@@ -190,12 +183,7 @@ def cmd_qerror(scanner: ArgScanner, progname: str) -> int:
     # f32-matmul accumulation (quality path), not the C bit order
     mode = "fast" if scanner.get("-fast", OPTION2) is not None else "parity"
 
-    if buffer > 0:
-        from ..data.streaming import StreamingReader
-
-        data = StreamingReader(in_data_file, buffer)
-    else:
-        data = load_data(in_data_file, "data")
+    data = load_or_stream(in_data_file, buffer)
     codes = load_data(in_code_file, "codes")
     require_map(codes, in_code_file)
     require_same_dim(data, codes)
@@ -235,12 +223,7 @@ def cmd_vcal(scanner: ArgScanner, progname: str) -> int:
     buffer = scanner.get_int("-buffer", 0, OPTION)
     numlabs = scanner.get_int("-numlabs", 1, OPTION)
 
-    if buffer > 0:
-        from ..data.streaming import StreamingReader
-
-        data = StreamingReader(in_data_file, buffer)
-    else:
-        data = load_data(in_data_file, "data")
+    data = load_or_stream(in_data_file, buffer)
     codes = load_data(in_code_file, "codes")
     require_map(codes, in_code_file)
     require_same_dim(data, codes)
@@ -274,10 +257,18 @@ def cmd_visual(scanner: ArgScanner, progname: str) -> int:
         if ifverbose(2):
             sys.stderr.write(
                 "Output entries are saved to file %s\n" % out_data_file)
-        # per-sample output: stream chunk results straight to the file
+        # per-sample output: stream chunk results straight to the file;
+        # meta keeps the header for zero-entry inputs
+        import numpy as _np
+
+        from ..data.dataset import Dataset as _DS
+
+        meta = _DS(points=_np.zeros((0, 3), _np.float32),
+                   topol=codes.topol, neigh=codes.neigh,
+                   xdim=codes.xdim, ydim=codes.ydim)
         write_data_chunks(
             (tools.visual(codes, c) for c in data.chunks(laps=1)),
-            out_data_file)
+            out_data_file, meta=meta)
         return 0
     data = load_data(in_data_file, "data", skip_empty=not noskip)
     codes = load_data(in_code_file, "codes")

@@ -34,6 +34,18 @@ def load_data(name: str, kind: str = "data", skip_empty: bool = True) -> Dataset
         raise  # unreachable
 
 
+def load_or_stream(name: str, buffer: int, kind: str = "data",
+                   skip_empty: bool = True):
+    """-buffer > 0 returns a bounded-memory StreamingReader (the
+    reference's LOADMODE_BUFFER loader, datafile.c:237-344); otherwise
+    the fully loaded Dataset.  Trainers/evaluators accept either."""
+    if buffer > 0:
+        from ..data.streaming import StreamingReader
+
+        return StreamingReader(name, buffer, skip_empty=skip_empty)
+    return load_data(name, kind, skip_empty=skip_empty)
+
+
 def save_codes(codes: Dataset, name: str, comments: Optional[str] = None) -> None:
     if ifverbose(2):
         sys.stderr.write("Codebook entries are saved to file %s\n" % name)

@@ -362,12 +362,15 @@ def write_data_chunks(
     name: str,
     labels: Optional[LabelTable] = None,
     comments: Optional[str] = None,
+    meta: Optional[Dataset] = None,
 ) -> int:
     """Incremental writer for streamed pipelines: `chunks` yields
     Datasets sharing one header; the header comes from the first chunk
     and entries append as chunks arrive — output is byte-identical to
     write_data of the concatenation, with only one chunk resident.
-    Returns the number of entries written."""
+    `meta` supplies the header when the stream yields NO chunks (a
+    zero-entry input must still produce a header-only file like the
+    non-streamed writer).  Returns the number of entries written."""
     f = _open_write(name)
     close = f is not sys.stdout
     n = 0
@@ -392,6 +395,11 @@ def write_data_chunks(
                 for i in range(ds.n):
                     f.write(format_entry(ds, i, labels) + "\n")
             n += ds.n
+        if first and meta is not None:
+            f.write(format_header(meta) + "\n")
+            if comments:
+                f.write(comments if comments.endswith("\n")
+                        else comments + "\n")
     finally:
         if close:
             f.close()

@@ -79,11 +79,30 @@ class StreamingReader:
 
     # -- single lap ------------------------------------------------------
 
+    def _counts_toward_buffer(self, raw: str) -> bool:
+        """Does this data line yield a LOADED entry?  The reference's
+        refill loop counts ACCEPTED entries, not lines (read_entries
+        keeps reading until `buffer` entries loaded, datafile.c:237-344;
+        all-masked lines are skipped by load_entry and do not count,
+        :676-686) — so refill boundaries, and hence the per-refill
+        shuffle order, must not count skipped empties either."""
+        if not self.skip_empty:
+            return True
+        mstr = self._mstr
+        if mstr not in raw:  # fast path: no mask token on the line
+            return True
+        toks = raw.split()
+        return not (len(toks) >= self.dim
+                    and all(t == mstr for t in toks[: self.dim]))
+
     def _chunks_one_lap(self) -> Iterator[Dataset]:
         from . import native_io
         from .io import read_data
         import io as _io
 
+        from ..config import masked_string
+
+        self._mstr = masked_string()
         n_seen = 0
         f = _open_read(self.name)  # rewind = re-open (fileio.c:383-426)
         try:
@@ -94,6 +113,7 @@ class StreamingReader:
                     continue
                 break
             lines: List[str] = []
+            loaded = 0  # ACCEPTED entries in the pending refill
             row = 0
             k, n = self.shard if self.shard is not None else (0, 1)
             for raw in f:
@@ -106,15 +126,19 @@ class StreamingReader:
                 if not keep:
                     continue
                 lines.append(raw)
-                if len(lines) >= self.buffer:
+                if self._counts_toward_buffer(raw):
+                    loaded += 1
+                if loaded >= self.buffer:
                     chunk = self._parse_chunk(lines)
                     n_seen += chunk.n
                     yield chunk
                     lines = []
+                    loaded = 0
             if lines:
                 chunk = self._parse_chunk(lines)
                 n_seen += chunk.n
-                yield chunk
+                if chunk.n:
+                    yield chunk
             # entry count of the last COMPLETE lap (empties excluded) —
             # lets one-lap consumers (CLI qerror) report the sample
             # count without a second pass over the file

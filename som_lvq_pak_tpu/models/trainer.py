@@ -580,63 +580,39 @@ class SOMTrainer:
                 maybe_ckpt(b, Mp)
                 prev = nxt
             M = Mp[:, :D].astype(jnp.float32)
-        elif use_fused_tp:
+        elif use_fused_tp or use_fused_mixed:
             import jax
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             from ..ops.pallas_distance import dist_argmin
             from ..ops.pallas_som import pick_fused_tile_n
-            from ..parallel.sharded import make_sharded_fused_som_train_step
-
-            n_local = self.meta.n // n_shards
-            tile_n = min(pick_fused_tile_n(self.meta.n, self.batch_size, Dp),
-                         max(8, n_local))
-            d_real = D if (D < Dp and D % 8 == 0) else None
-            step = make_sharded_fused_som_train_step(
-                self.mesh, gaussian=self.gaussian, xdim=self.meta.xdim,
-                hexa=hexa, tile_n=tile_n, d_real=d_real)
-            Mp = jnp.zeros((self.meta.n, Dp), jnp.float32).at[:, :D].set(M)
-
-            it = batches()
-            prev = next(it, None)
-            bmu = None
-            if prev is not None:
-                _, bmu = dist_argmin(pad(prev[1]), Mp)
-                if prev[4] is not None:
-                    bmu = jnp.where(prev[4] >= 0, prev[4], bmu)
-            Mp = jax.device_put(Mp, NamedSharding(self.mesh,
-                                                  P("model", None)))
-            while prev is not None:
-                b, xb, mk_b, wt_b, ff_b = prev
-                nxt = next(it, None)
-                xb_p = pad(xb)
-                xn_p = pad(nxt[1]) if nxt is not None else xb_p
-                Mp, bmu_next = step(
-                    Mp, xb_p, bmu, xn_p, eff_alpha(b, wt_b, mk_b),
-                    jnp.float32(trad[b]))
-                if nxt is not None:
-                    bmu = bmu_next
-                    if nxt[4] is not None:
-                        bmu = jnp.where(nxt[4] >= 0, nxt[4], bmu)
-                if progress is not None:
-                    progress.step(self.batch_size)
-                maybe_ckpt(b, Mp)
-                prev = nxt
-            M = jnp.asarray(Mp)[:, :D]
-        elif use_fused_mixed:
-            import jax
-            from jax.sharding import NamedSharding, PartitionSpec as P
-
-            from ..ops.pallas_distance import dist_argmin
-            from ..parallel.sharded import make_mixed_fused_som_train_step
 
             n_local = self.meta.n // n_shards
             d_real = D if (D < Dp and D % 8 == 0) else None
-            step = make_mixed_fused_som_train_step(
-                self.mesh, gaussian=self.gaussian, xdim=self.meta.xdim,
-                hexa=hexa, tile_n=min(512, n_local), d_real=d_real)
-            Mp = jnp.zeros((self.meta.n, Dp), jnp.float32).at[:, :D].set(M)
+            if use_fused_tp:
+                from ..parallel.sharded import (
+                    make_sharded_fused_som_train_step,
+                )
 
+                tile_n = min(
+                    pick_fused_tile_n(self.meta.n, self.batch_size, Dp),
+                    max(8, n_local))
+                step = make_sharded_fused_som_train_step(
+                    self.mesh, gaussian=self.gaussian, xdim=self.meta.xdim,
+                    hexa=hexa, tile_n=tile_n, d_real=d_real)
+            else:
+                from ..parallel.sharded import (
+                    make_mixed_fused_som_train_step,
+                )
+
+                step = make_mixed_fused_som_train_step(
+                    self.mesh, gaussian=self.gaussian, xdim=self.meta.xdim,
+                    hexa=hexa, tile_n=min(512, n_local), d_real=d_real)
+
+            # shared software pipeline: winner of batch t comes from step
+            # t-1; the prologue searches batch 0 against the initial
+            # codebook before it is placed on the mesh
+            Mp = jnp.zeros((self.meta.n, Dp), jnp.float32).at[:, :D].set(M)
             it = batches()
             prev = next(it, None)
             bmu = None

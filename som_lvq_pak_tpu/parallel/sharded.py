@@ -551,6 +551,20 @@ def make_mixed_fused_som_train_step(
 
     dp = mesh.shape["data"]
 
+    def _pick_tile(n_local: int) -> int:
+        # largest tile <= tile_n that DIVIDES the shard height (the
+        # accumulate/blend kernels do not row-pad; without this a shard
+        # like n_local=1040 with tile_n=512 raised at the first step)
+        t = min(tile_n, n_local)
+        t -= t % 8
+        while t >= 8 and n_local % t != 0:
+            t -= 8
+        if t < 8:
+            raise ValueError(
+                f"make_mixed_fused_som_train_step: shard height "
+                f"{n_local} must be a multiple of 8")
+        return t
+
     def local(codes_l, xb_l, bmu_l, xn_l, alpha, radius):
         n_local = codes_l.shape[0]
         shard = jax.lax.axis_index("model").astype(jnp.int32)
@@ -562,9 +576,10 @@ def make_mixed_fused_som_train_step(
             d = jax.lax.axis_index("data")
             Bl = xb_l.shape[0]
             a = jax.lax.dynamic_slice(a, (d * Bl,), (Bl,))
+        tn = _pick_tile(n_local)
         acc, wsum = som_neighborhood_accumulate(
             xb_l, bmu_l, n_local, xdim, hexa, a, radius,
-            gaussian=gaussian, tile_n=min(tile_n, n_local),
+            gaussian=gaussian, tile_n=tn,
             unit_offset=off, interpret=not use_pallas or None)
         if dp > 1:
             acc = jax.lax.psum(acc, "data")
@@ -574,8 +589,7 @@ def make_mixed_fused_som_train_step(
             from ..ops.pallas_som import som_blend_winner
 
             newc, val_l, idx_l = som_blend_winner(
-                codes_l, acc, wsum, xn_l,
-                tile_n=min(tile_n, n_local), d_real=d_real)
+                codes_l, acc, wsum, xn_l, tile_n=tn, d_real=d_real)
         else:
             from ..ops.distance import find_winners
 

@@ -210,3 +210,42 @@ def test_streamed_setlabel_matches_full(ref_dir, golden_dir, tmp_path):
                  "-cout", "sl_buf.cod", "-knn", 5, "-buffer", 321)
     assert rc == 0 and rc2 == 0
     assert open("sl_full.cod").read() == open("sl_buf.cod").read()
+
+
+def test_streamed_with_empty_entries_matches_fullload(tmp_path):
+    """Refill boundaries count ACCEPTED entries like the reference
+    loader (skipped all-masked lines do not count, datafile.c:676-686),
+    so streamed == full-load buffered output even when the file contains
+    empty entries (r4 review finding)."""
+    path = str(tmp_path / "emp.dat")
+    rng = np.random.RandomState(3)
+    with open(path, "w") as f:
+        f.write("2\n")
+        for i in range(10):
+            if i == 4:
+                f.write("x x L1\n")  # all-masked: loaded-entry skip
+            f.write("%.3f %.3f L%d\n" % (rng.rand(), rng.rand(), i % 2 + 1))
+    data = read_data(path)
+    codes = data.take(np.arange(4))
+    rng_a, rng_b = CRandom(), CRandom()
+    rng_a.init_random(1)
+    rng_b.init_random(1)
+    full = mlvq.lvq1_train(codes, data, 30, 0.05, random_order=True,
+                           rng=rng_a, buffer=4)
+    reader = StreamingReader(path, 4)
+    stream = mlvq.lvq1_train(codes, reader, 30, 0.05, random_order=True,
+                             rng=rng_b)
+    np.testing.assert_array_equal(full.points, stream.points)
+
+
+def test_streamed_all_empty_file_raises(tmp_path):
+    """A file whose every data line is all-masked must raise, not spin
+    forever re-reading the file (r4 review finding)."""
+    path = str(tmp_path / "allemp.dat")
+    with open(path, "w") as f:
+        f.write("2\n")
+        for _ in range(5):
+            f.write("x x\n")
+    reader = StreamingReader(path, 2)
+    with pytest.raises(ValueError, match="no .*entries"):
+        list(streamed_samples(reader, 10, False, None))
