@@ -126,7 +126,6 @@ def eveninit(
             it[1] = nic
 
     correct = knn_correct_mask(data, knn, mode=mode)
-    quota_before = {lab: freq for lab, freq in classes.items()}
     picked = pick_inside_codes(classes, data, knn, correct)
 
     # second pass: redistribute the shortfall to classes that met their
