@@ -330,3 +330,36 @@ def test_mixed_fused_step_matches_oracle(mesh):
         np.testing.assert_allclose(np.asarray(c2), np.asarray(ref),
                                    rtol=1e-5, atol=1e-5)
         np.testing.assert_array_equal(np.asarray(bmu2), np.asarray(bmu_ref))
+
+
+def test_mixed_fused_step_non_dividing_shard_height(mesh):
+    """Shard heights that are multiples of 8 but not of the default
+    tile (e.g. 1040 per shard) must train, not raise — the step picks a
+    tile that divides the height (r4 review finding)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from som_lvq_pak_tpu.parallel.sharded import (
+        make_mixed_fused_som_train_step,
+    )
+
+    xdim, ydim = 16, 130          # noc = 2080 -> 1040 rows per model shard
+    N, B, D = xdim * ydim, 32, 128
+    sub = jax.sharding.Mesh(mesh.devices.reshape(2, 2, 2)[:, :, 0],
+                            ("data", "model"))
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    codes = jax.random.normal(k1, (N, D), dtype=jnp.float32)
+    xb = jax.random.normal(k2, (B, D), dtype=jnp.float32)
+    bmu = jnp.argmin(
+        jnp.sum((xb[:, None, :16] - codes[None, :, :16]) ** 2, axis=-1),
+        axis=-1).astype(jnp.int32)
+    step = make_mixed_fused_som_train_step(
+        sub, gaussian=True, xdim=xdim, hexa=True, tile_n=512,
+        use_pallas=False)
+    c2, bmu2 = step(
+        jax.device_put(codes, NamedSharding(sub, P("model", None))),
+        jax.device_put(xb, NamedSharding(sub, P("data", None))),
+        jax.device_put(bmu, NamedSharding(sub, P("data"))),
+        jax.device_put(xb, NamedSharding(sub, P("data", None))),
+        jnp.float32(0.05), jnp.float32(3.0))
+    assert np.isfinite(np.asarray(c2)).all()
+    assert (np.asarray(bmu2) >= 0).all() and (np.asarray(bmu2) < N).all()
