@@ -298,8 +298,12 @@ def run_e2e_1m_65k():
     out = trainer.fit(stream(NTOT), rlen=NTOT, alpha=0.05, radius=64,
                       allow_short_stream=True)
     t_train = time.perf_counter() - t0
+    # device-resident eval (see run_e2e_config4): the 256 MB already
+    # crossed the tunnel during training; time evaluation itself
+    data_dev = Dataset(points=jnp.asarray(X))
+    jax.block_until_ready(data_dev.points)
     t0 = time.perf_counter()
-    q = find_qerror(out, data, mode="fast") / data.n
+    q = find_qerror(out, data_dev, mode="fast") / data.n
     t_eval = time.perf_counter() - t0
     steps = NTOT // bs
     return {
@@ -657,8 +661,13 @@ def run_e2e_config4():
     out = trainer.fit(stream(100_000), rlen=100_000, alpha=0.05, radius=32,
                       allow_short_stream=True)
     t_train = time.perf_counter() - t0
+    # evaluate against a device-resident copy: training already moved
+    # every vector once, so the eval measures EVALUATION, not a second
+    # redundant host->device pass of the same data
+    data_dev = Dataset(points=jnp.asarray(X))
+    jax.block_until_ready(data_dev.points)
     t0 = time.perf_counter()
-    q = find_qerror(out, data, mode="fast") / data.n
+    q = find_qerror(out, data_dev, mode="fast") / data.n
     t_eval = time.perf_counter() - t0
     steps = 100_000 // bs
     return {
