@@ -220,3 +220,26 @@ def test_qerror_fast_masked_and_remainder(golden_dir, ex_dat):
     qp = find_qerror(codes, msub, mode="parity")
     qf = find_qerror(codes, msub, mode="fast")
     assert abs(qp - qf) / qp < 1e-4
+
+
+def test_library_pipeline_roundtrip_golden(ref_dir, ex_dat, tmp_path):
+    """The README library quick-start, verified: chaining stages through
+    the %g text round-trip (like the reference programs, which exchange
+    codebook FILES) reproduces the 3.571006 golden exactly; the C value
+    bakes those round-trips in."""
+    from som_lvq_pak_tpu.data.io import write_data
+
+    rng = CRandom()
+    rng.init_random(123)
+    codes = randinit(ex_dat, Topology.HEXA, Neighborhood.BUBBLE, 12, 8, rng)
+    p = str(tmp_path / "s.cod")
+    write_data(codes, p)
+    codes = read_data(p)
+    codes = som_train(codes, ex_dat, rlen=1000, alpha=0.05, radius=10.0)
+    write_data(codes, p)
+    codes = read_data(p)
+    codes = som_train(codes, ex_dat, rlen=10000, alpha=0.02, radius=3.0)
+    write_data(codes, p)
+    codes = read_data(p)
+    q = find_qerror(codes, ex_dat)
+    assert "%f" % (np.float32(q) / np.float32(ex_dat.n)) == "3.571006"
