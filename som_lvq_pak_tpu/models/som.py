@@ -485,7 +485,7 @@ def _find_qerror_fast(codes: Dataset, data: Dataset, M=None, m2=None,
     # bit-anchored figure is mode='parity'.  The last chunk is padded to
     # the full chunk size (padded rows zeroed via the validity vector)
     # so every chunk shares one compiled shape.
-    chunk = int(min(max(8, data.n), 65536))
+    chunk = int(min(max(8, data.n), _QERROR_CHUNK))
     if M is None:
         M = jnp.asarray(codes.points)
     if m2 is None:
@@ -499,6 +499,18 @@ def _find_qerror_fast(codes: Dataset, data: Dataset, M=None, m2=None,
     Dp_ = -(-D_ // 128) * 128
     Mp = (M if Dp_ == D_ else
           jnp.zeros((M.shape[0], Dp_), M.dtype).at[:, :D_].set(M))
+    if data.n > chunk:
+        # large evaluations run as ONE dispatch over the whole array:
+        # the r4 driver run spent 16.4 s of wall on ~0.3 s of device
+        # math because the 16-chunk host loop paid the TPU tunnel's
+        # multi-dispatch cost per chunk (VERDICT r4 task 3; CLAUDE.md
+        # "fewer, bigger dispatches").  dist_argmin already grids over
+        # the batch internally, so the whole (N_data, noc) search is a
+        # single pallas_call; one executable per distinct data shape.
+        total = _qerror_whole_step(
+            total, jnp.asarray(data.points), M, Mp, m2,
+            None if data.mask is None else jnp.asarray(data.mask))
+        return total if as_array else float(total)
     for s in range(0, data.n, chunk):
         e = min(s + chunk, data.n)
         m = e - s
@@ -524,6 +536,60 @@ def _find_qerror_fast(codes: Dataset, data: Dataset, M=None, m2=None,
 
 
 _QERROR_STEP = None
+_QERROR_WHOLE = None
+# evaluations up to this many samples share one fixed-shape chunk
+# executable; anything larger runs the single-dispatch whole-array path
+# (module-level so tests can exercise the big-N path at small sizes)
+_QERROR_CHUNK = 65536
+
+
+def _qerror_whole_step(total, xs, M, Mp, m2, xm):
+    """Whole-array qerror partial in ONE device dispatch: fused Pallas
+    winner search over the full (N_data, noc) problem (the kernel grids
+    over the batch), exact f32 recompute of the winning distance, and
+    the masked/validity-weighted sum — accumulated into the running
+    device total with a single executable and zero per-chunk host
+    round-trips (find_qerror fast path; som_rout.c:678-731 semantics).
+    All-masked samples contribute 0 like the C loop's skip."""
+    global _QERROR_WHOLE
+    if _QERROR_WHOLE is None:
+        import functools
+
+        import jax
+        import jax.numpy as jnp
+
+        @functools.partial(jax.jit, static_argnames=("masked",))
+        def step(total, xs, M, Mp, m2, xm, masked):
+            from ..ops.pallas_distance import dist_argmin
+
+            D_ = xs.shape[1]
+            Dp_ = Mp.shape[1]
+            if masked:
+                _, idx = dist_argmin(xs, M, mask=xm)
+            else:
+                xp = (xs if Dp_ == D_ else
+                      jnp.zeros((xs.shape[0], Dp_), xs.dtype)
+                      .at[:, :D_].set(xs))
+                # big-batch tiling (see _qerror_chunk_step): fewer
+                # codebook re-streams per batch tile
+                _, idx = dist_argmin(xp, Mp, m2=m2, tile_b=512,
+                                     tile_n=2048)
+            diff = xs - M[idx]
+            if masked:
+                keep = 1.0 - xm.astype(jnp.float32)
+                diff = diff * keep
+                valid = 1.0 - jnp.all(xm != 0, axis=-1).astype(jnp.float32)
+            else:
+                valid = jnp.ones((xs.shape[0],), jnp.float32)
+            mind = jnp.sum(diff * diff, axis=-1)
+            return total + jnp.sum(jnp.sqrt(jnp.maximum(mind, 0.0)) * valid)
+
+        _QERROR_WHOLE = step
+    import jax.numpy as jnp
+
+    return _QERROR_WHOLE(total, xs, M, Mp, m2,
+                         xm if xm is not None else jnp.zeros((0, 0), jnp.uint8),
+                         xm is not None)
 
 
 def _qerror_chunk_step(total, xs, valid, M, Mp, m2, xm):
