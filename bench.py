@@ -352,12 +352,28 @@ def run_e2e_1m_65k():
     t0 = time.perf_counter()
     q = find_qerror(out, data_dev, mode="fast") / data.n
     t_eval = time.perf_counter() - t0
+    # bf16 input stream: halves the tunnel bytes (the measured H2D path
+    # runs ~25-45 MB/s, so the f32 lap pays ~6-10 s of transfer); the
+    # quality delta is gated in tests and reported here
+    tr16 = SOMTrainer(codes, batch_size=bs, use_pallas=True,
+                      stream_bf16=True)
+    tr16.fit(stream(2 * bs), rlen=2 * bs, alpha=0.05, radius=64,
+             allow_short_stream=True)  # warm the bf16 transfer/step shapes
+    tr16 = SOMTrainer(codes, batch_size=bs, use_pallas=True,
+                      stream_bf16=True)
+    t0 = time.perf_counter()
+    out16 = tr16.fit(stream(NTOT), rlen=NTOT, alpha=0.05, radius=64,
+                     allow_short_stream=True)
+    t_train16 = time.perf_counter() - t0
+    q16 = find_qerror(out16, data_dev, mode="fast") / data.n
     steps = NTOT // bs
     return {
         "train_s": round(t_train, 2),
         "qerror_eval_s": round(t_eval, 2),
         "qerror_per_sample": round(q, 4),
         "evals_per_s": round(steps * bs * 65536 / t_train),
+        "train_bf16_stream_s": round(t_train16, 2),
+        "qerror_bf16_stream": round(q16, 4),
         "shape": "256x256 hexa gaussian map, 1M x 64-dim streamed, 1 lap",
     }
 

@@ -24,6 +24,7 @@
 #include <cstdlib>
 #include <cstring>
 #include <string>
+#include <thread>
 #include <vector>
 
 extern "C" {
@@ -92,75 +93,59 @@ static int neigh_id(const char* s) {
   return 0;
 }
 
-// parse a '\n'-separated text buffer (caller owns `buf`; it is modified
-// in place during tokenization)
-int svq_parse_buffer(char* buf, int64_t len, const char* mask_str,
-                     int skip_empty, svq_data* out) {
-  svq_init(out);
-  (void)len;
-
+// Per-slab row accumulator: the data lines of one contiguous region of
+// the buffer parsed into column vectors (no header handling).  Slabs are
+// disjoint, so N workers can fill N of these concurrently and the merge
+// concatenates them in file order — output byte-identical to the
+// single-threaded parse (tests/test_native.py asserts it).
+struct RowData {
   std::vector<float>   points;
   std::vector<uint8_t> mask;
   std::vector<float>   weight;
   std::vector<int32_t> fixedpt;
   std::vector<int32_t> labcnt;
   std::string          labstr;
-  std::string          comments;
   bool any_mask = false, any_weight = false, any_fixed = false;
   int64_t total_labels = 0;
+  char err[256] = {0};
+};
 
+// parse the data lines in [begin, end) — tokenizes in place.  A slab
+// may only write within its own region: internal slabs end in '\n'
+// (overwritten to '\0' here); the final slab ends at the buffer's
+// trailing '\0' (the svq_parse_buffer contract) — never write at *end,
+// that byte belongs to the next slab's worker.
+static void parse_rows(char* begin, char* end, int dim,
+                       const char* mask_str, int skip_empty, RowData* rd) {
+  if (end > begin && end[-1] == '\n') end[-1] = '\0';
   std::vector<char*> toks;
-  int dim = -1;
-
   char* save = nullptr;
-  for (char* line = strtok_r(buf, "\n", &save); line;
+  for (char* line = strtok_r(begin, "\n", &save); line;
        line = strtok_r(nullptr, "\n", &save)) {
-    if (line[0] == '#') {
-      if (dim < 0) {  // header comments only (read_data keeps those)
-        if (!comments.empty()) comments += '\n';
-        comments += line;
-      }
-      continue;
-    }
-    if (dim < 0) {
-      // header line: dim [topol [xdim ydim neigh]]
-      int nt = split_line(line, toks);
-      if (nt == 0) continue;  // blank before header
-      dim = atoi(toks[0]);
-      if (dim <= 0) {
-        snprintf(out->error, sizeof(out->error), "bad header dimension");
-        return 1;
-      }
-      out->dim = dim;
-      if (nt > 1) out->topol = topol_id(toks[1]);
-      if (nt > 2) out->xdim = atoi(toks[2]);
-      if (nt > 3) out->ydim = atoi(toks[3]);
-      if (nt > 4) out->neigh = neigh_id(toks[4]);
-      continue;
-    }
+    if (line[0] == '#') continue;  // body comments are skipped
     int nt = split_line(line, toks);
     if (nt == 0) continue;
     if (nt < dim) {
-      snprintf(out->error, sizeof(out->error),
+      snprintf(rd->err, sizeof(rd->err),
                "short line: %d tokens, dim %d", nt, dim);
-      return 1;
+      return;
     }
-    size_t row0 = points.size();
-    points.resize(row0 + dim, 0.0f);
-    mask.resize(row0 + dim, 0);
+    size_t row0 = rd->points.size();
+    rd->points.resize(row0 + dim, 0.0f);
+    rd->mask.resize(row0 + dim, 0);
     int nmasked = 0;
     for (int i = 0; i < dim; ++i) {
       if (!strcmp(toks[i], mask_str)) {
-        mask[row0 + i] = 1;
+        rd->mask[row0 + i] = 1;
         ++nmasked;
-        any_mask = true;
+        rd->any_mask = true;
       } else {
-        points[row0 + i] = (float)strtod(toks[i], nullptr);
+        rd->points[row0 + i] = (float)strtod(toks[i], nullptr);
       }
     }
     if (nmasked == dim && skip_empty) {  // datafile.c:676-686
-      points.resize(row0);
-      mask.resize(row0);
+      rd->points.resize(row0);
+      rd->mask.resize(row0);
       continue;
     }
     float w = 0.0f;  // no weight= token => 0 sentinel (datafile.c:497)
@@ -169,53 +154,158 @@ int svq_parse_buffer(char* buf, int64_t len, const char* mask_str,
     for (int i = dim; i < nt; ++i) {
       if (!strncmp(toks[i], "weight=", 7)) {
         w = (float)atoi(toks[i] + 7);  // get_weight is atoi
-        any_weight = true;
+        rd->any_weight = true;
       } else if (!strncmp(toks[i], "fixed=", 6)) {
         char* comma = strchr(toks[i] + 6, ',');
         fx = atoi(toks[i] + 6);
         fy = comma ? atoi(comma + 1) : 0;
-        any_fixed = true;
+        rd->any_fixed = true;
       } else {
-        labstr.append(toks[i]);
-        labstr.push_back('\0');
+        rd->labstr.append(toks[i]);
+        rd->labstr.push_back('\0');
         ++nlabs;
       }
     }
-    weight.push_back(w);
-    fixedpt.push_back(fx);
-    fixedpt.push_back(fy);
-    labcnt.push_back(nlabs);
-    total_labels += nlabs;
+    rd->weight.push_back(w);
+    rd->fixedpt.push_back(fx);
+    rd->fixedpt.push_back(fy);
+    rd->labcnt.push_back(nlabs);
+    rd->total_labels += nlabs;
   }
+}
 
+static int default_threads() {
+  const char* env = getenv("SOMVQ_PARSE_THREADS");
+  if (env && *env) {
+    int t = atoi(env);
+    if (t >= 1) return t > 64 ? 64 : t;
+  }
+  unsigned hc = std::thread::hardware_concurrency();
+  int t = hc ? (int)hc : 1;
+  return t > 16 ? 16 : t;
+}
+
+// parse a '\n'-separated text buffer (caller owns `buf`; it is modified
+// in place during tokenization).  Files past ~4 MB parse the data region
+// with a thread per slab (slabs split at line boundaries, merged in file
+// order — the replacement for the reference's single-threaded
+// read_entries loop, datafile.c:237-344, at TPU-training data volumes).
+int svq_parse_buffer(char* buf, int64_t len, const char* mask_str,
+                     int skip_empty, svq_data* out) {
+  svq_init(out);
+
+  std::string comments;
+  int dim = -1;
+  char* body = nullptr;  // first byte after the header line
+
+  // header scan: comments and blank lines, then `dim [topol [x y neigh]]`
+  char* p = buf;
+  char* bufend = buf + (len >= 0 ? len : (int64_t)strlen(buf));
+  while (p < bufend && dim < 0) {
+    char* eol = (char*)memchr(p, '\n', bufend - p);
+    char* lend = eol ? eol : bufend;
+    if (p[0] == '#') {
+      if (!comments.empty()) comments += '\n';
+      comments.append(p, lend - p);
+      // strip a trailing '\r'
+      while (!comments.empty() && comments.back() == '\r') comments.pop_back();
+    } else {
+      // tokenize the candidate header in place
+      char saved = *lend;
+      *lend = '\0';
+      std::vector<char*> toks;
+      int nt = split_line(p, toks);
+      if (nt > 0) {
+        dim = atoi(toks[0]);
+        if (dim <= 0) {
+          *lend = saved;
+          snprintf(out->error, sizeof(out->error), "bad header dimension");
+          return 1;
+        }
+        out->dim = dim;
+        if (nt > 1) out->topol = topol_id(toks[1]);
+        if (nt > 2) out->xdim = atoi(toks[2]);
+        if (nt > 3) out->ydim = atoi(toks[3]);
+        if (nt > 4) out->neigh = neigh_id(toks[4]);
+      }
+      *lend = saved;
+    }
+    p = eol ? eol + 1 : bufend;
+  }
   if (dim < 0) {
     snprintf(out->error, sizeof(out->error), "no header line");
     return 1;
   }
+  body = p;
 
-  int64_t n = (int64_t)labcnt.size();
+  // slab split: nominal even split of [body, bufend), each boundary
+  // advanced to the next '\n' so every slab holds whole lines
+  int64_t body_len = bufend - body;
+  int nthreads = default_threads();
+  if (body_len < (4 << 20) || nthreads < 2) nthreads = 1;
+  std::vector<char*> starts(nthreads + 1);
+  starts[0] = body;
+  starts[nthreads] = bufend;
+  for (int t = 1; t < nthreads; ++t) {
+    char* cand = body + body_len * t / nthreads;
+    if (cand <= starts[t - 1]) cand = starts[t - 1];
+    char* nl = (char*)memchr(cand, '\n', bufend - cand);
+    starts[t] = nl ? nl + 1 : bufend;
+  }
+
+  std::vector<RowData> slabs(nthreads);
+  if (nthreads == 1) {
+    parse_rows(body, bufend, dim, mask_str, skip_empty, &slabs[0]);
+  } else {
+    std::vector<std::thread> ths;
+    for (int t = 0; t < nthreads; ++t)
+      ths.emplace_back(parse_rows, starts[t], starts[t + 1], dim,
+                       mask_str, skip_empty, &slabs[t]);
+    for (auto& th : ths) th.join();
+  }
+  for (auto& rd : slabs)
+    if (rd.err[0]) {
+      snprintf(out->error, sizeof(out->error), "%s", rd.err);
+      return 1;
+    }
+
+  // order-preserving merge
+  int64_t n = 0, labstr_len = 0;
+  bool any_mask = false, any_weight = false, any_fixed = false;
+  for (auto& rd : slabs) {
+    n += (int64_t)rd.labcnt.size();
+    labstr_len += (int64_t)rd.labstr.size();
+    any_mask |= rd.any_mask;
+    any_weight |= rd.any_weight;
+    any_fixed |= rd.any_fixed;
+    out->total_labels += rd.total_labels;
+  }
   out->n = n;
   out->points = (float*)malloc(sizeof(float) * n * dim);
-  memcpy(out->points, points.data(), sizeof(float) * n * dim);
-  if (any_mask) {
-    out->mask = (uint8_t*)malloc(n * dim);
-    memcpy(out->mask, mask.data(), n * dim);
-  }
-  if (any_weight) {
-    out->weight = (float*)malloc(sizeof(float) * n);
-    memcpy(out->weight, weight.data(), sizeof(float) * n);
-  }
-  if (any_fixed) {
-    out->fixedpt = (int32_t*)malloc(sizeof(int32_t) * n * 2);
-    memcpy(out->fixedpt, fixedpt.data(), sizeof(int32_t) * n * 2);
-  }
+  if (any_mask) out->mask = (uint8_t*)calloc(n * dim, 1);
+  if (any_weight) out->weight = (float*)malloc(sizeof(float) * n);
+  if (any_fixed) out->fixedpt = (int32_t*)malloc(sizeof(int32_t) * n * 2);
   out->labcnt = (int32_t*)malloc(sizeof(int32_t) * n);
-  memcpy(out->labcnt, labcnt.data(), sizeof(int32_t) * n);
-  out->total_labels = total_labels;
-  out->labstr_len = (int64_t)labstr.size();
-  out->labstr = (char*)malloc(labstr.size() + 1);
-  memcpy(out->labstr, labstr.data(), labstr.size());
-  out->labstr[labstr.size()] = '\0';
+  out->labstr = (char*)malloc(labstr_len + 1);
+  int64_t ro = 0, lo = 0;
+  for (auto& rd : slabs) {
+    int64_t rn = (int64_t)rd.labcnt.size();
+    memcpy(out->points + ro * dim, rd.points.data(),
+           sizeof(float) * rn * dim);
+    if (any_mask && !rd.mask.empty())
+      memcpy(out->mask + ro * dim, rd.mask.data(), rn * dim);
+    if (any_weight)
+      memcpy(out->weight + ro, rd.weight.data(), sizeof(float) * rn);
+    if (any_fixed)
+      memcpy(out->fixedpt + ro * 2, rd.fixedpt.data(),
+             sizeof(int32_t) * rn * 2);
+    memcpy(out->labcnt + ro, rd.labcnt.data(), sizeof(int32_t) * rn);
+    memcpy(out->labstr + lo, rd.labstr.data(), rd.labstr.size());
+    ro += rn;
+    lo += (int64_t)rd.labstr.size();
+  }
+  out->labstr[labstr_len] = '\0';
+  out->labstr_len = labstr_len;
   out->comments_len = (int64_t)comments.size();
   out->comments = (char*)malloc(comments.size() + 1);
   memcpy(out->comments, comments.data(), comments.size());
@@ -237,7 +327,7 @@ int svq_parse_file(const char* path, const char* mask_str, int skip_empty,
   char* buf = (char*)malloc(sz + 1);
   size_t rd = fread(buf, 1, sz, f);
   fclose(f);
-  buf[rd] = '\0';
+  buf[rd] = '\0';  // svq_parse_buffer contract: trailing NUL at buf[len]
   int rc = svq_parse_buffer(buf, (int64_t)rd, mask_str, skip_empty, out);
   free(buf);
   return rc;

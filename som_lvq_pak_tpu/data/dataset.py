@@ -67,7 +67,18 @@ class Dataset:
     comments: List[str] = field(default_factory=list)
 
     def __post_init__(self):
-        self.points = np.ascontiguousarray(self.points, dtype=np.float32)
+        if type(self.points).__module__.startswith("jax"):
+            # device-resident Dataset: leave the array on device.  The
+            # r4 bench wrapped a jnp array believing it stayed resident;
+            # this np.ascontiguousarray silently fetched it to host and
+            # every fast-path consumer re-uploaded it through the TPU
+            # tunnel (256 MB per 1M-vector eval — a large share of the
+            # 6-16 s eval wall the r4 verdict flagged).  Fast eval/train
+            # paths use jnp.asarray(points) (a no-op here); parity paths
+            # that index per row still work, just slower.
+            pass
+        else:
+            self.points = np.ascontiguousarray(self.points, dtype=np.float32)
         if self.points.ndim != 2:
             raise ValueError("points must be (N, dim)")
         if self.mask is not None:

@@ -42,18 +42,25 @@ class SOMTrainer:
         use_pallas: Optional[bool] = None,
         bf16: bool = False,
         vmem_steps: Optional[bool] = None,
+        stream_bf16: bool = False,
     ):
         """`bf16=True` keeps the training-resident codebook in bfloat16
         on the fused path — halves the step's HBM traffic (the fused
         kernel accumulates in f32 either way); the returned/checkpointed
         codebook is float32.  `vmem_steps`: None = auto (use the
         VMEM-resident multi-step kernel when the codebook fits), False =
-        never, True has no effect beyond auto."""
+        never, True has no effect beyond auto.  `stream_bf16=True` ships
+        streamed input batches host->device in bfloat16 (halving the
+        transfer bytes — the TPU tunnel here moves ~25-45 MB/s, so a
+        1M x 64-dim lap pays ~6-10 s of f32 transfer); samples are
+        upcast on device, so only the input quantization changes
+        (quality-gated in tests, not bit parity)."""
         import jax
 
         if not codes.is_map:
             raise ValueError("SOMTrainer needs a map codebook")
         self.bf16 = bf16
+        self.stream_bf16 = stream_bf16
         self.vmem_steps = vmem_steps
         self.meta = codes
         self.batch_size = batch_size
@@ -91,6 +98,8 @@ class SOMTrainer:
     def _one_step(self, M, xb, a, r, mask=None, weights=None, fixed_bmu=None):
         import jax.numpy as jnp
 
+        if getattr(xb, "dtype", None) is not None and xb.dtype != jnp.float32:
+            xb = jnp.asarray(xb).astype(jnp.float32)  # bf16-streamed batch
         if self.mesh is None:
             return som_batch_step(
                 M, xb, self.coords, jnp.float32(a), jnp.float32(r),
@@ -222,16 +231,25 @@ class SOMTrainer:
             chunk_iter = iter(data)
 
             def batches():
-                # Buffer chunks HOST-side (NumPy) and ship only
-                # fixed-(batch, D) arrays: one compiled transfer shape for
-                # the whole run.  Slicing/concatenating jnp buffers of
-                # varying sizes costs one tunnel compile per distinct
-                # shape — measured tens of seconds on the first lap of a
-                # 1 M-vector stream.  The reader's background thread
-                # still prefetches/parses ahead of device compute, and
-                # device_put of each batch is async against the previous
-                # step.
+                # Buffer chunks HOST-side (NumPy), ship SUPERBLOCKS of
+                # ~16 MB in one device_put each, and slice per-batch
+                # views on the DEVICE.  The TPU tunnel's H2D path was
+                # measured at ~25-45 MB/s with a large per-transfer
+                # fixed cost (1 MB pieces collapse to ~2 MB/s), so
+                # per-batch puts dominated the r4 1M-train wall
+                # (VERDICT r4 task 4); block transfers at the measured
+                # sweet spot cut the overhead to the bandwidth floor,
+                # and stream_bf16 halves the bytes on top.  The reader's
+                # background thread still parses ahead; device_put is
+                # async against the chained steps.
                 import jax
+
+                if self.stream_bf16:
+                    import ml_dtypes
+
+                    stream_dtype = ml_dtypes.bfloat16
+                else:
+                    stream_dtype = np.float32
 
                 def pack(chunk):
                     return (
@@ -262,15 +280,22 @@ class SOMTrainer:
                     pending, skip = _skip_stream_samples(pending, skip)
                     if pending is None:
                         pending = next_chunk()
+                s = self.batch_size
+                itemsize = 2 if self.stream_bf16 else 4
+                target_rows = max(s, (16 << 20) // max(1, D * itemsize))
                 while b < nb:
-                    while buffered < self.batch_size:
+                    # fill to at least one batch, ideally a full block
+                    while (buffered < s
+                           or (buffered < target_rows and pending is not None)):
                         if pending is None:
+                            if buffered >= s:
+                                break
                             if allow_short_stream:
                                 return
                             raise RuntimeError(
                                 f"input stream exhausted at batch {b}/{nb} "
                                 f"({buffered} samples buffered, "
-                                f"{self.batch_size} needed): size laps to "
+                                f"{s} needed): size laps to "
                                 "cover rlen, pass laps=None, or set "
                                 "allow_short_stream=True"
                             )
@@ -289,24 +314,43 @@ class SOMTrainer:
                         ]
                         return np.concatenate(parts) if len(parts) > 1 else parts[0]
 
-                    D = bufs[0][0].shape[1]
-                    X = cat(0, 0.0, (D,), np.float32)
-                    mk = cat(1, 0, (D,), np.uint8)
+                    Dc = bufs[0][0].shape[1]
+                    X = cat(0, 0.0, (Dc,), np.float32)
+                    mk = cat(1, 0, (Dc,), np.uint8)
                     wt = cat(2, 0.0, (), np.float32)
                     ff = cat(3, -1, (), np.int32)
-                    s = self.batch_size
+                    # ship whole batches only; the remainder stays HOST-
+                    # side for the next block (mixing device leftovers
+                    # back into np.concatenate would fetch them D2H)
+                    nfull = min(buffered // s, nb - b) * s
+                    Xd = jax.device_put(
+                        np.ascontiguousarray(X[:nfull], dtype=stream_dtype))
+                    mkd = None if mk is None else jax.device_put(mk[:nfull])
+                    wtd = None if wt is None else jax.device_put(wt[:nfull])
+                    ffd = None if ff is None else jax.device_put(ff[:nfull])
+                    # per-batch mask presence, decided on the HOST copy:
+                    # a clean batch inside a block that contains masked
+                    # chunks elsewhere must yield mask=None — an all-zero
+                    # mask array would route it down the masked kernel,
+                    # whose different rounding can flip near-tie winners
+                    mk_any = (None if mk is None else
+                              [bool(mk[o:o + s].any())
+                               for o in range(0, nfull, s)])
                     off = 0
-                    while buffered >= s and b < nb:
-                        yield (b, jax.device_put(X[off:off + s]),
-                               None if mk is None else jax.device_put(mk[off:off + s]),
-                               None if wt is None else jax.device_put(wt[off:off + s]),
-                               None if ff is None else jax.device_put(ff[off:off + s]))
+                    j = 0
+                    while off < nfull and b < nb:
+                        yield (b, Xd[off:off + s],
+                               (mkd[off:off + s]
+                                if mkd is not None and mk_any[j] else None),
+                               None if wtd is None else wtd[off:off + s],
+                               None if ffd is None else ffd[off:off + s])
                         off += s
                         buffered -= s
                         b += 1
-                    bufs = [(X[off:], None if mk is None else mk[off:],
-                             None if wt is None else wt[off:],
-                             None if ff is None else ff[off:], buffered)]
+                        j += 1
+                    bufs = [(X[nfull:], None if mk is None else mk[nfull:],
+                             None if wt is None else wt[nfull:],
+                             None if ff is None else ff[nfull:], buffered)]
 
         # The single-chip Pallas path runs the software-pipelined FUSED
         # step: update(batch t) + winner-search(batch t+1) in one pass
@@ -348,8 +392,10 @@ class SOMTrainer:
         hexa = self.meta.topol == Topology.HEXA
 
         def pad(xb):
+            # also upcasts bf16-streamed batches to the kernel's f32
             if xb.shape[1] == Dp:
-                return xb
+                return (xb if xb.dtype == jnp.float32
+                        else xb.astype(jnp.float32))
             return jnp.zeros((xb.shape[0], Dp), jnp.float32).at[
                 :, :xb.shape[1]].set(xb)
 

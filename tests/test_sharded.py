@@ -279,11 +279,15 @@ def test_sharded_lvq_step_matches_batch_step(mesh, algorithm):
                                rtol=1e-5, atol=1e-5)
 
 
-def test_mixed_fused_step_matches_oracle(mesh):
+@pytest.mark.parametrize("dd,dm", [(2, 4), (1, 8), (8, 1)])
+def test_mixed_fused_step_matches_oracle(dd, dm):
     """The mixed data x model fused step (accumulate -> psum -> blend ->
     winner allgather-min) equals the single-device batch update and the
-    two-kernel winner sequence, on a 2x4 mesh, gaussian and bubble,
-    scalar and per-sample alpha."""
+    two-kernel winner sequence, across every 8-device mesh factorization
+    (pure-DP 8x1, pure-TP 1x8, and mixed 2x4 — VERDICT r4 task 6),
+    gaussian and bubble, scalar and per-sample alpha."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from som_lvq_pak_tpu.models.fast import grid_sq_dists_idx
@@ -291,6 +295,7 @@ def test_mixed_fused_step_matches_oracle(mesh):
         make_mixed_fused_som_train_step,
     )
 
+    mesh = make_mesh(8, data=dd, model=dm)
     B, D = 64, 128
     xdim, ydim = 16, 8
     N = xdim * ydim
@@ -363,3 +368,48 @@ def test_mixed_fused_step_non_dividing_shard_height(mesh):
         jnp.float32(0.05), jnp.float32(3.0))
     assert np.isfinite(np.asarray(c2)).all()
     assert (np.asarray(bmu2) >= 0).all() and (np.asarray(bmu2) < N).all()
+
+
+@pytest.mark.parametrize("dd,dm", [(2, 4), (1, 8)])
+def test_mesh_trainer_weighted_fixed_masked_matches_single(dd, dm):
+    """SOMTrainer on a mesh must equal the single-device trainer for
+    data carrying weight= / fixed= tokens (which ride the fused
+    mixed/TP mesh path via the effective-alpha fold and the BMU
+    override) AND for masked data (which the trainer routes to the
+    masked sharded two-pass step) — VERDICT r4 task 6."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from som_lvq_pak_tpu.data.dataset import Dataset, Neighborhood, Topology
+    from som_lvq_pak_tpu.models.trainer import SOMTrainer
+
+    rng = np.random.default_rng(5)
+    N_DATA, D = 256, 16
+    xdim, ydim = 16, 8
+    X = rng.normal(0, 1, size=(N_DATA, D)).astype(np.float32)
+    weight = rng.integers(0, 4, size=N_DATA).astype(np.float32)  # 0=absent
+    fixed = np.full((N_DATA, 2), -1, np.int32)
+    fixed[::7] = [3, 2]  # every 7th sample pinned to unit (3, 2)
+    codes0 = Dataset(
+        points=rng.normal(0, 1, size=(xdim * ydim, D)).astype(np.float32),
+        topol=Topology.HEXA, neigh=Neighborhood.GAUSSIAN,
+        xdim=xdim, ydim=ydim)
+
+    def run(mesh, ds):
+        # use_pallas=True engages the fused mixed/TP mesh paths (pallas
+        # interpret mode on the CPU backend), matching what a real-chip
+        # mesh run would select
+        tr = SOMTrainer(codes0, batch_size=64, mesh=mesh, use_pallas=True,
+                        seed=3)
+        return tr.fit(ds, rlen=256, alpha=0.05, radius=4.0,
+                      use_weights=True, use_fixed=True).points
+
+    mesh = make_mesh(8, data=dd, model=dm)
+    ds_wf = Dataset(points=X, weight=weight, fixed=fixed)
+    np.testing.assert_allclose(
+        run(mesh, ds_wf), run(None, ds_wf), rtol=1e-4, atol=1e-4)
+
+    mask = np.zeros((N_DATA, D), np.uint8)
+    mask[::5, 3] = 1
+    ds_mask = Dataset(points=X, mask=mask)
+    np.testing.assert_allclose(
+        run(mesh, ds_mask), run(None, ds_mask), rtol=1e-4, atol=1e-4)

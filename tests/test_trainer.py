@@ -312,6 +312,32 @@ def test_som_trainer_streaming_masked_chunk_fallback(ex_dat):
                                atol=2e-2)
 
 
+def test_som_trainer_stream_bf16_quality(ex_dat):
+    """stream_bf16=True ships streamed batches in bfloat16 (halving the
+    host->device bytes — the TPU-tunnel ingest lever, VERDICT r4 task 4);
+    only the input quantization changes, so the trained map's qerror
+    must stay within a fraction of a percent of the f32-streamed run."""
+    from som_lvq_pak_tpu.data.dataset import Dataset
+
+    init = som.randinit(ex_dat, Topology.HEXA, Neighborhood.GAUSSIAN, 8, 8,
+                        CRandom(11))
+    X = ex_dat.points[:2048]
+
+    def stream():
+        for lo in range(0, 2048, 256):
+            yield Dataset(points=X[lo:lo + 256])
+
+    out_f32 = SOMTrainer(init, batch_size=256, use_pallas=True).fit(
+        stream(), rlen=2048, alpha=0.05, radius=4.0)
+    out_bf16 = SOMTrainer(init, batch_size=256, use_pallas=True,
+                          stream_bf16=True).fit(
+        stream(), rlen=2048, alpha=0.05, radius=4.0)
+    data = Dataset(points=X)
+    q32 = som.find_qerror(out_f32, data, mode="fast") / data.n
+    q16 = som.find_qerror(out_bf16, data, mode="fast") / data.n
+    assert abs(q16 - q32) / q32 < 0.005, (q32, q16)
+
+
 def test_som_trainer_streaming_vmem_group_path(ex_dat):
     """Small-map streams ride the VMEM multi-step group kernel (the 16x
     path); result must match the two-kernel path on the same stream."""
