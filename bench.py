@@ -1139,7 +1139,8 @@ def main():
         if not isinstance(d, dict):
             return d if isinstance(d, str) else None
         return {k: d.get(k) for k in
-                ("train_s", "qerror_eval_s", "qerror_per_sample")}
+                ("train_s", "qerror_eval_s", "qerror_per_sample",
+                 "train_bf16_stream_s") if k in d}
 
     summary = {
         "headline_config": best_name[6:],

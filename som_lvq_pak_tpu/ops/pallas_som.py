@@ -905,18 +905,18 @@ def _som_fused_factored_chunked_kernel(
     bmu_ref,      # (1, B)    int32 BMU of the CURRENT batch
     aw_ref,       # (1, B)    f32 per-sample effective alpha
     x_ref,        # (B, D)    current batch
-    xn_ref,       # (B', D)   NEXT batch (winner search target)
+    xn_ref,       # (B', D)   NEXT batch (winner search target); int8
+    #             pre-quantized when int8_win
     codes_ref,    # (TN, D)   codebook tile (input; index clamped on the
     #             extra stagger drain cell)
     r_ref,        # (1, 1)    radius
-    out_ref,      # (TN, D)   updated codebook tile
-    val_ref,      # (1, B')   next batch: partial sq-dist of the winner
-    idx_ref,      # (1, B')   next batch: winner index
-    wxa_ref,      # (PAT, B)  scratch: x-axis factor (PAT = 2*TN for the
-    #             hexa one-row-per-tile case, else TN); optionally bf16
-    vmin_ref,     # (1, B')   f32 scratch: running MAX score
-    varg_ref,     # (1, B')   i32 scratch: running argmax
-    *prev_ref,    # optional (TN, D) f32 scratch: stagger's previous tile
+    *rest,        # [q_ref (1, 2) f32: (quant 127/sm, dequant sm*sx/127^2)
+    #             — int8_win only], out_ref (TN, D), val_ref (1, B'),
+    #             idx_ref (1, B'), wxa_ref (PAT, B) scratch (PAT = 2*TN
+    #             for hexa one-row-per-tile, else TN; optionally bf16),
+    #             vmin_ref (1, B') f32 scratch (running MAX score),
+    #             varg_ref (1, B') i32 scratch (running argmax),
+    #             [prev_ref (TN, D) f32 scratch — stagger only]
     gaussian: bool,
     tile_n: int,
     xdim: int,
@@ -926,6 +926,7 @@ def _som_fused_factored_chunked_kernel(
     batch_chunk: int,
     stagger: bool,
     n_tiles: int,
+    int8_win: bool = False,
 ):
     """Batch-chunked (and optionally staggered) separable-neighborhood
     fused step — the large-B variant of _som_fused_factored_kernel.
@@ -957,8 +958,21 @@ def _som_fused_factored_chunked_kernel(
 
     Grid-distance terms are the exact-f32 forms of _neighborhood_w
     (dx from columns and 0.5-offsets, dy^2 = rowdiff^2 * 0.75), so the
-    bubble boundary decision agrees with every other kernel exactly."""
+    bubble boundary decision agrees with every other kernel exactly.
+
+    `int8_win` (opt-in experiment, VERDICT r4 task 5): the winner
+    contraction runs int8 x int8 -> int32 on the MXU — the updated tile
+    is quantized in-kernel against a global codebook scale (q_ref) and
+    the batch arrives pre-quantized; scores dequantize to f32 before
+    the fold, and ||m||^2/2 stays exact f32, so only near-tie winners
+    within the quantization noise can flip (quality-gated, not
+    bit-parity).  Measured standalone: the int8 dot at the winner shape
+    runs 1.61x the f32 rate on v5e (tools/int8_probe.py)."""
     i = pl.program_id(0)
+    if int8_win:
+        q_ref, *rest = rest
+    (out_ref, val_ref, idx_ref, wxa_ref, vmin_ref, varg_ref,
+     *prev_ref) = rest
     rows_per_tile = tile_n // xdim
     dual_parity = hexa and rows_per_tile == 1
     B = x_ref.shape[0]
@@ -1039,10 +1053,17 @@ def _som_fused_factored_chunked_kernel(
         sl = pl.ds(c * BC, BC)
         xw = (xn_ref[sl, :d_real] if d_real is not None
               else xn_ref[sl, :])
-        mx = jax.lax.dot_general(
-            cw, xw, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=precision,
-        )                                                 # (TN, BC)
+        if int8_win:
+            mxi = jax.lax.dot_general(
+                cw, xw, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )                                             # (TN, BC) int32
+            mx = mxi.astype(jnp.float32) * q_ref[0, 1]
+        else:
+            mx = jax.lax.dot_general(
+                cw, xw, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision,
+            )                                             # (TN, BC)
         s_t = mx - m2h
         lm = jnp.max(s_t, axis=0, keepdims=True)          # (1, BC)
         la = jnp.argmax(s_t, axis=0)[None, :] + j * tile_n
@@ -1066,6 +1087,10 @@ def _som_fused_factored_chunked_kernel(
     def winner_prep(newc):
         nw = newc[:, :d_real] if d_real is not None else newc
         m2h = 0.5 * jnp.sum(nw * nw, axis=1, keepdims=True)  # (TN, 1)
+        if int8_win:
+            cw8 = jnp.clip(jnp.round(nw * q_ref[0, 0]),
+                           -127.0, 127.0).astype(jnp.int8)
+            return cw8, m2h
         return nw.astype(xn_ref.dtype), m2h
 
     def flush_outputs(j):
@@ -1125,6 +1150,7 @@ def _som_fused_factored_chunked_kernel(
 def _fused_factored_chunked_call(
     codes, xb, bp, awp, xb_next, rr, *, xdim, hexa, gaussian, tile_n,
     d_real, precision, batch_chunk, stagger, wxa_bf16, interpret,
+    int8_win=False,
 ):
     """pallas_call plumbing for _som_fused_factored_chunked_kernel."""
     noc, D = codes.shape
@@ -1149,6 +1175,23 @@ def _fused_factored_chunked_call(
     else:
         def cix(i):
             return (i, 0)
+    extra_in = []
+    extra_specs = []
+    if int8_win:
+        # global scales for the step: the codebook quantizer must cover
+        # the post-update values — updates are convex blends toward
+        # batch samples, so max(|codes|, |x|) bounds them exactly
+        sm = jnp.maximum(jnp.max(jnp.abs(codes.astype(jnp.float32))),
+                         jnp.max(jnp.abs(xb.astype(jnp.float32)))) + 1e-30
+        sx = jnp.max(jnp.abs(xb_next.astype(jnp.float32))) + 1e-30
+        xb_next = jnp.clip(
+            jnp.round(xb_next.astype(jnp.float32) * (127.0 / sx)),
+            -127.0, 127.0).astype(jnp.int8)
+        q = jnp.stack([127.0 / sm,
+                       (sm * sx) / (127.0 * 127.0)]).reshape(1, 2)
+        extra_in = [q]
+        extra_specs = [pl.BlockSpec((1, 2), lambda i: (0, 0),
+                                    memory_space=pltpu.VMEM)]
     scratch = [
         pltpu.VMEM((pat_rows, B), jnp.bfloat16 if wxa_bf16 else jnp.float32),
         pltpu.VMEM((1, Bn), jnp.float32),
@@ -1161,7 +1204,7 @@ def _fused_factored_chunked_call(
             _som_fused_factored_chunked_kernel,
             gaussian=gaussian, tile_n=tile_n, xdim=xdim, hexa=hexa,
             d_real=d_real, precision=precision, batch_chunk=BC,
-            stagger=stagger, n_tiles=n_tiles,
+            stagger=stagger, n_tiles=n_tiles, int8_win=int8_win,
         ),
         grid=grid,
         in_specs=[
@@ -1171,7 +1214,7 @@ def _fused_factored_chunked_call(
             pl.BlockSpec((Bn, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_n, D), cix, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
+        ] + extra_specs,
         out_specs=[
             pl.BlockSpec((tile_n, D), cix, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Bn), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -1190,7 +1233,7 @@ def _fused_factored_chunked_call(
             transcendentals=(tile_n + noc // xdim) * B if gaussian else 0,
         ),
         interpret=interpret,
-    )(bp, awp, xb, xb_next, codes, rr)
+    )(bp, awp, xb, xb_next, codes, rr, *extra_in)
     return codes_new, idx[0, :], val[0, :]
 
 
@@ -1198,7 +1241,7 @@ def _fused_factored_chunked_call(
     jax.jit,
     static_argnames=("xdim", "hexa", "gaussian", "tile_n", "interpret",
                      "precision", "factored", "d_real", "batch_chunk",
-                     "stagger", "wxa_bf16", "batch_bf16"),
+                     "stagger", "wxa_bf16", "batch_bf16", "int8_win"),
 )
 def som_fused_train_step(
     codes: jnp.ndarray,     # (noc, D) — keep D lane-padded (mult of 128)
@@ -1233,6 +1276,12 @@ def som_fused_train_step(
     #                       blocks in bfloat16 (halves their VMEM; the
     #                       MXU truncates f32 inputs at default
     #                       precision anyway — required at B=8192)
+    int8_win: bool = False,  # factored chunked path: run the winner
+    #                       contraction int8 x int8 -> int32 (1.61x the
+    #                       f32 MXU rate at this shape — int8_probe.py);
+    #                       winner selection gains quantization noise on
+    #                       near-ties and the returned val is approximate
+    #                       (quality-gated opt-in, not bit parity)
 ):
     """One fused SOM training step at the HBM roofline.
 
@@ -1287,7 +1336,8 @@ def som_fused_train_step(
         aw = jnp.broadcast_to(jnp.asarray(alpha, dtype=jnp.float32), (B,))
         awp = jnp.reshape(aw, (1, B))
         rr = jnp.asarray([[radius]], dtype=jnp.float32)
-        if (batch_chunk is not None or stagger or wxa_bf16 or batch_bf16):
+        if (batch_chunk is not None or stagger or wxa_bf16 or batch_bf16
+                or int8_win):
             if batch_bf16:
                 xb = xb.astype(jnp.bfloat16)
                 xb_next = xb_next.astype(jnp.bfloat16)
@@ -1295,7 +1345,8 @@ def som_fused_train_step(
                 codes, xb, bp, awp, xb_next, rr, xdim=xdim, hexa=hexa,
                 gaussian=gaussian, tile_n=tile_n, d_real=d_real,
                 precision=precision, batch_chunk=batch_chunk,
-                stagger=stagger, wxa_bf16=wxa_bf16, interpret=interpret)
+                stagger=stagger, wxa_bf16=wxa_bf16, interpret=interpret,
+                int8_win=int8_win)
         codes_new, val, idx = pl.pallas_call(
             functools.partial(
                 _som_fused_factored_kernel,
