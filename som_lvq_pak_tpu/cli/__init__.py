@@ -67,7 +67,25 @@ def tool_names() -> List[str]:
     return sorted(_registry().keys())
 
 
+def _enable_compile_cache():
+    """Persistent XLA compilation cache for CLI runs: each somvq
+    invocation is a fresh process, and first compiles through the TPU
+    tunnel cost seconds — a big-map qerror paid ~5-10 s of compile per
+    run without this.  Set SOMVQ_COMPILE_CACHE=\"\" to disable."""
+    path = os.environ.get("SOMVQ_COMPILE_CACHE", "/tmp/somvq_jax_cache")
+    if not path:
+        return
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 def main(argv: Optional[List[str]] = None, progname: Optional[str] = None) -> int:
+    _enable_compile_cache()
     if argv is None:
         argv = sys.argv[1:]
     if progname is None:
