@@ -340,37 +340,76 @@ int svq_parse_file(const char* path, const char* mask_str, int skip_empty,
 // Returns a malloc'd buffer (caller frees with svq_free_text).
 // ---------------------------------------------------------------------
 
+static void format_rows(const float* points, const uint8_t* mask,
+                        const char* labstr_at, const int32_t* labcnt,
+                        int64_t lo, int64_t hi, int32_t dim,
+                        const char* mask_str, std::string* out) {
+  out->reserve((size_t)(hi - lo) * dim * 8);
+  char tmp[64];
+  const char* lp = labstr_at;
+  for (int64_t i = lo; i < hi; ++i) {
+    for (int32_t d = 0; d < dim; ++d) {
+      if (mask && mask[i * dim + d]) {
+        *out += mask_str;
+      } else {
+        snprintf(tmp, sizeof(tmp), "%g", (double)points[i * dim + d]);
+        *out += tmp;
+      }
+      *out += ' ';
+    }
+    if (labcnt) {
+      for (int32_t k = 0; k < labcnt[i]; ++k) {
+        *out += lp;
+        *out += ' ';
+        lp += strlen(lp) + 1;
+      }
+    }
+    *out += '\n';
+  }
+}
+
 char* svq_format_entries(const float* points, const uint8_t* mask,
                          const char* labstr, const int32_t* labcnt,
                          int64_t n, int32_t dim, const char* mask_str,
                          int64_t* out_len) {
-  std::string out;
-  out.reserve((size_t)n * dim * 8);
-  char tmp[64];
-  const char* lp = labstr;
-  for (int64_t i = 0; i < n; ++i) {
-    for (int32_t d = 0; d < dim; ++d) {
-      if (mask && mask[i * dim + d]) {
-        out += mask_str;
-      } else {
-        snprintf(tmp, sizeof(tmp), "%g", (double)points[i * dim + d]);
-        out += tmp;
-      }
-      out += ' ';
+  // row-slab parallel formatting (same threading policy as the parser;
+  // byte-identical output — slabs concatenate in row order).  Each
+  // slab's label cursor is pre-advanced past the earlier rows' tokens.
+  int nthreads = default_threads();
+  if ((int64_t)n * dim < (1 << 20) || nthreads < 2) nthreads = 1;
+  std::vector<int64_t> lo(nthreads + 1);
+  for (int t = 0; t <= nthreads; ++t) lo[t] = n * t / nthreads;
+  std::vector<const char*> lab_at(nthreads, labstr);
+  if (labcnt && labstr) {
+    const char* lp = labstr;
+    int64_t row = 0;
+    for (int t = 0; t < nthreads; ++t) {
+      for (; row < lo[t]; ++row)
+        for (int32_t k = 0; k < labcnt[row]; ++k) lp += strlen(lp) + 1;
+      lab_at[t] = lp;
     }
-    if (labcnt) {
-      for (int32_t k = 0; k < labcnt[i]; ++k) {
-        out += lp;
-        out += ' ';
-        lp += strlen(lp) + 1;
-      }
-    }
-    out += '\n';
   }
-  *out_len = (int64_t)out.size();
-  char* ret = (char*)malloc(out.size() + 1);
-  memcpy(ret, out.data(), out.size());
-  ret[out.size()] = '\0';
+  std::vector<std::string> parts(nthreads);
+  if (nthreads == 1) {
+    format_rows(points, mask, labstr, labcnt, 0, n, dim, mask_str,
+                &parts[0]);
+  } else {
+    std::vector<std::thread> ths;
+    for (int t = 0; t < nthreads; ++t)
+      ths.emplace_back(format_rows, points, mask, lab_at[t], labcnt,
+                       lo[t], lo[t + 1], dim, mask_str, &parts[t]);
+    for (auto& th : ths) th.join();
+  }
+  size_t total = 0;
+  for (auto& p : parts) total += p.size();
+  *out_len = (int64_t)total;
+  char* ret = (char*)malloc(total + 1);
+  size_t off = 0;
+  for (auto& p : parts) {
+    memcpy(ret + off, p.data(), p.size());
+    off += p.size();
+  }
+  ret[total] = '\0';
   return ret;
 }
 

@@ -107,6 +107,11 @@ def cmd_vsom(scanner: ArgScanner, progname: str) -> int:
     # the C byte contract; batch size via -batch, default 1024)
     fast = scanner.get("-fast", OPTION2) is not None
     batch = scanner.get_int("-batch", 1024, OPTION)
+    # -bf16stream (extension, -fast only): ship streamed input batches
+    # host->device in bfloat16 — halves the transfer bytes on
+    # tunnel-bandwidth-bound ingests (SOMTrainer stream_bf16;
+    # quality-gated input quantization, not bit parity)
+    bf16stream = scanner.get("-bf16stream", OPTION2) is not None
     alpha_type = get_alpha_type(scanner)
     snapshot = get_snapshot_opts(scanner, out_code_file, rlen)
 
@@ -121,7 +126,8 @@ def cmd_vsom(scanner: ArgScanner, progname: str) -> int:
                     "vsom: -fast uses trainer checkpoints, not snapshots\n")
             snapshot.close()
         tr = SOMTrainer(codes, batch_size=max(1, batch), use_pallas=True,
-                        seed=rng.state % (1 << 31))
+                        seed=rng.state % (1 << 31),
+                        stream_bf16=bf16stream)
         if buffer > 0:
             from ..data.streaming import StreamingReader
 

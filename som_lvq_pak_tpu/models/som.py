@@ -745,8 +745,10 @@ def _find_qerror2_fast(codes: Dataset, data: Dataset, radius: float) -> float:
     ux = jnp.asarray(coords[:, 0])
     uy = jnp.asarray(coords[:, 1])
     M = jnp.asarray(codes.points)
-    # keep the (B, noc) distance + weight blocks bounded (~128 MB f32)
-    chunk = int(max(8, min(data.n, (1 << 25) // max(1, codes.n))))
+    # keep the (B, noc) distance/grid/weight blocks bounded (~3 x 512 MB
+    # f32 live at the cap — well within HBM; fewer, bigger dispatches
+    # matter more than block size through the tunnel)
+    chunk = int(max(8, min(data.n, (1 << 27) // max(1, codes.n))))
     total = jnp.zeros((), jnp.float32)
     r = jnp.float32(radius)
     for s in range(0, data.n, chunk):

@@ -747,11 +747,19 @@ def _labeled_batches(data, start, nb, batch_size, keybox,
     buffered = 0
     b = start
     skip = start * batch_size
+    s = batch_size
+    # superblock transfers (see SOMTrainer's streaming branch): the
+    # tunnel's H2D path has a large per-transfer cost, so ship ~16 MB
+    # blocks in one device_put each and slice batches on device
+    target_rows = None
     while b < nb:
-        while buffered < batch_size:
+        while (buffered < s
+               or (target_rows is not None and buffered < target_rows)):
             try:
                 c = next(chunk_iter)
             except StopIteration:
+                if buffered >= s:
+                    break
                 if allow_short_stream:
                     return
                 raise RuntimeError(
@@ -764,6 +772,8 @@ def _labeled_batches(data, start, nb, batch_size, keybox,
                 t, skip = _skip_stream_samples(t, skip)
                 if t is None:
                     continue
+            if target_rows is None:
+                target_rows = max(s, (16 << 20) // max(1, t[0].shape[1] * 4))
             bufs.append(t)
             buffered += t[3]
         X = np_.concatenate([t[0] for t in bufs])
@@ -776,17 +786,24 @@ def _labeled_batches(data, start, nb, batch_size, keybox,
                 for t in bufs])
         else:
             mk = None
-        s = batch_size
+        nfull = min(buffered // s, nb - b) * s
+        Xd = jax.device_put(X[:nfull])
+        Ld = jax.device_put(L[:nfull])
+        mkd = None if mk is None else jax.device_put(mk[:nfull])
+        mk_any = (None if mk is None else
+                  [bool(mk[o:o + s].any()) for o in range(0, nfull, s)])
         off = 0
-        while buffered >= s and b < nb:
-            yield (b, jax.device_put(X[off:off + s]),
-                   jax.device_put(L[off:off + s]),
-                   None if mk is None else jax.device_put(mk[off:off + s]))
+        j = 0
+        while off < nfull and b < nb:
+            yield (b, Xd[off:off + s], Ld[off:off + s],
+                   (mkd[off:off + s]
+                    if mkd is not None and mk_any[j] else None))
             off += s
             buffered -= s
             b += 1
-        bufs = [(X[off:], L[off:],
-                 None if mk is None else mk[off:], buffered)]
+            j += 1
+        bufs = [(X[nfull:], L[nfull:],
+                 None if mk is None else mk[nfull:], buffered)]
 
 
 class LVQTrainer:

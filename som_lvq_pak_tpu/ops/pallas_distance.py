@@ -101,14 +101,20 @@ def dist_argmin(
     x: jnp.ndarray,
     codes: jnp.ndarray,
     m2: Optional[jnp.ndarray] = None,
-    tile_b: int = 256,
-    tile_n: int = 512,
+    tile_b: Optional[int] = None,
+    tile_n: Optional[int] = None,
     bf16: bool = False,
     interpret: Optional[bool] = None,
     precision=None,
     mask: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fused 1-NN winner search: returns (sq_dists (B,), indices (B,)).
+
+    `tile_b`/`tile_n` default to shape-aware picks: (512, 1024) when
+    both the batch and the codebook are large — fewer codebook
+    re-streams per batch tile, measured 1.7x over (256, 512) at
+    B=1024 x N=65536 in the r5 interleaved bench window — else the
+    small-shape (256, 512).
 
     `m2` = precomputed ||m||^2 (N,) float32; recomputed if None.
 
@@ -129,6 +135,10 @@ def dist_argmin(
     """
     B, D = x.shape
     N, _ = codes.shape
+    if tile_b is None:
+        tile_b = 512 if (B >= 512 and N >= 8192) else 256
+    if tile_n is None:
+        tile_n = 1024 if (B >= 512 and N >= 8192) else 512
     if interpret is None:
         # Mosaic only compiles on TPU; fall back to the interpreter on CPU
         interpret = jax.default_backend() == "cpu"
