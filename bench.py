@@ -104,9 +104,11 @@ def interleave_medians(specs, rounds=3):
     lets a mid-process phase shift (PERF.md documents 2-13x swings)
     masquerade as a config difference (VERDICT r4 task 2).
 
-    `specs`: {name: (chain, short, long)}.  Returns {name: dt_or_None}
-    (median positive slope; min long-chain average as the upper-bound
-    fallback when every slope is noise)."""
+    `specs`: {name: (chain, short, long)}.  Returns ({name: dt_or_None},
+    fallback_names): a name lands in `fallback_names` when every slope
+    sample was noise and the min long-chain AVERAGE (an upper bound that
+    still carries per-dispatch overhead) substituted — ratio consumers
+    must not treat such values as slopes (review finding r5)."""
     slopes = {n: [] for n in specs}
     longs = {n: [] for n in specs}
     failed = set()
@@ -121,15 +123,17 @@ def interleave_medians(specs, rounds=3):
             except Exception:
                 failed.add(n)
     out = {}
+    fallback = set()
     for n in specs:
         pos = sorted(x for x in slopes[n] if x > 0)
         if pos:
             out[n] = pos[len(pos) // 2]
         elif longs[n]:
             out[n] = min(longs[n])
+            fallback.add(n)
         else:
             out[n] = None
-    return out
+    return out, fallback
 
 
 # ---------------------------------------------------------------------------
@@ -833,6 +837,7 @@ def main():
         ("skeleton_B8192_xbf16", lambda: prep_skeleton(8 * B, 1024, True)),
         ("skeleton_B4096", lambda: prep_skeleton(4 * B, 1024, False)),
         ("skeleton_B2048", lambda: prep_skeleton(2 * B, 2048, False)),
+        ("skeleton_B1024", lambda: prep_skeleton(B, 1024, False)),
         # attribution / comparison configs
         ("fused_fact_dreal_bf16", lambda: prep_fused(
             codes_bf16, xb, xn, bmu0, tile_n=512, factored=True, d_real=D)),
@@ -858,7 +863,7 @@ def main():
     ]
     # headline candidates + the probes are always compiled: the
     # roofline block needs hbm_probe AND mxu_probe together
-    ESSENTIAL = 9
+    ESSENTIAL = 10
     measures = {}
     compile_s = {}
     for i, (name, prep) in enumerate(warm_specs):
@@ -895,8 +900,10 @@ def main():
     # difference; per-config value = median positive slope.  These are
     # the SELECTION numbers (reported as sweep_step_us_*); the headline
     # and all derived metrics come from the final same-window block.
-    sweep_dts = interleave_medians(
+    sweep_dts, sweep_fb = interleave_medians(
         {n: (measures[n], 50, 200) for n in FUSED_META if n in measures})
+    if sweep_fb:
+        extra["sweep_noise_fallbacks"] = sorted(sweep_fb)
     sweep = {}   # name -> (dt, B of the config)
     for name, dt in sweep_dts.items():
         if dt is None:
@@ -909,7 +916,9 @@ def main():
     # d_real=64 twin — VERDICT r4 task 5): ratio > ~1.3 would say the
     # winner matmul IS depth-bound and d_real genuinely saves its flops
     if ("fused_fact_B4096_k128" in sweep
-            and "fused_fact_dreal_f32_B4096" in sweep):
+            and "fused_fact_dreal_f32_B4096" in sweep
+            and not {"fused_fact_B4096_k128",
+                     "fused_fact_dreal_f32_B4096"} & sweep_fb):
         extra["k128_vs_d64_step_ratio"] = round(
             sweep["fused_fact_B4096_k128"][0]
             / sweep["fused_fact_dreal_f32_B4096"][0], 3)
@@ -993,7 +1002,8 @@ def main():
     # honest share of the real ceiling.
     skel_name = ("skeleton_B8192_xbf16" if B_best == 8 * B else
                  "skeleton_B4096" if B_best == 4 * B else
-                 "skeleton_B2048" if B_best == 2 * B else None)
+                 "skeleton_B2048" if B_best == 2 * B else
+                 "skeleton_B1024" if B_best == B else None)
     sk = measures.get(skel_name) if skel_name else None
     if sk is not None:
         try:
@@ -1024,16 +1034,22 @@ def main():
                "sharded_fused_t256_1chip_mesh", "sharded_mixed_1chip_mesh"):
         if nm in measures:
             g1[nm] = (measures[nm], 50, 200)
-    r1 = interleave_medians(g1)
+    r1, fb1 = interleave_medians(g1)
+    if fb1:
+        extra["sharded_group_noise_fallbacks"] = sorted(fb1)
     for nm, dt in r1.items():
         if dt is not None:
             extra[("step_us_" + nm) if nm.startswith("anchor")
                   else nm.replace("_1chip_mesh", "_step_us_1chip_mesh")] = \
                 round(dt * 1e6, 1)
-    two_pass = r1.get("sharded_1chip_mesh")
-    fused_tp = r1.get("sharded_fused_1chip_mesh")
-    fused_tp256 = r1.get("sharded_fused_t256_1chip_mesh")
-    mixed = r1.get("sharded_mixed_1chip_mesh")
+
+    def true_slope(r, fb, nm):
+        return r.get(nm) if nm not in fb else None
+
+    two_pass = true_slope(r1, fb1, "sharded_1chip_mesh")
+    fused_tp = true_slope(r1, fb1, "sharded_fused_1chip_mesh")
+    fused_tp256 = true_slope(r1, fb1, "sharded_fused_t256_1chip_mesh")
+    mixed = true_slope(r1, fb1, "sharded_mixed_1chip_mesh")
     if two_pass and fused_tp:
         extra["fused_tp_vs_two_pass_speedup"] = round(two_pass / fused_tp, 2)
     if two_pass and mixed:
@@ -1061,23 +1077,26 @@ def main():
         g2["vmem_resident"] = (measures["vmem_resident"], 5, 20)
     if "somexample_shape" in measures:
         g2["somexample_shape"] = (measures["somexample_shape"], 10, 40)
-    r2 = interleave_medians(g2)
+    r2, fb2 = interleave_medians(g2)
+    if fb2:
+        extra["perf_group_noise_fallbacks"] = sorted(fb2)
     if r2.get("mxu_anchor"):
         extra["extras_window_mxu_tflops"] = round(
             MXU_PROBE_FLOPS / r2["mxu_anchor"] / 1e12, 1)
-    dist_dts = [r2[nm] for nm in dist_chains if r2.get(nm)]
+    dist_dts = [r2[nm] for nm in dist_chains if true_slope(r2, fb2, nm)]
     for nm in dist_chains:
         if r2.get(nm):
             extra["step_us_" + nm] = round(r2[nm] * 1e6, 1)
     if dist_dts:
         extra["dist_kernel_evals_per_s"] = round(B * N / min(dist_dts))
-    if r2.get("olvq1"):
+    if true_slope(r2, fb2, "olvq1"):
         extra["olvq1_step_evals_per_s"] = round(B * N / r2["olvq1"])
     if r2.get("unfused_r1_style"):
         dt = r2["unfused_r1_style"]
         extra["step_us_unfused_r1_style"] = round(dt * 1e6, 1)
-        base = r2.get("anchor_fused_B1024") or r1.get("anchor_fused_B1024")
-        if base:
+        base = (true_slope(r2, fb2, "anchor_fused_B1024")
+                or true_slope(r1, fb1, "anchor_fused_B1024"))
+        if base and "unfused_r1_style" not in fb2:
             extra["fused_vs_unfused_speedup"] = round(dt / base, 2)
     if r2.get("vmem_resident"):
         dt_vmem = r2["vmem_resident"] / VMEM_K

@@ -71,17 +71,16 @@ def _enable_compile_cache():
     """Persistent XLA compilation cache for CLI runs: each somvq
     invocation is a fresh process, and first compiles through the TPU
     tunnel cost seconds — a big-map qerror paid ~5-10 s of compile per
-    run without this.  Set SOMVQ_COMPILE_CACHE=\"\" to disable."""
+    run without this.  Set SOMVQ_COMPILE_CACHE=\"\" to disable.
+
+    Configured via environment variables, NOT `import jax`: jax reads
+    these lazily if and when a subcommand actually imports it, so pure
+    host/parity tools keep their fast startup (review finding r5)."""
     path = os.environ.get("SOMVQ_COMPILE_CACHE", "/tmp/somvq_jax_cache")
     if not path:
         return
-    try:
-        import jax
-
-        jax.config.update("jax_compilation_cache_dir", path)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", path)
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1.0")
 
 
 def main(argv: Optional[List[str]] = None, progname: Optional[str] = None) -> int:

@@ -112,6 +112,11 @@ def cmd_vsom(scanner: ArgScanner, progname: str) -> int:
     # tunnel-bandwidth-bound ingests (SOMTrainer stream_bf16;
     # quality-gated input quantization, not bit parity)
     bf16stream = scanner.get("-bf16stream", OPTION2) is not None
+    if bf16stream and not (fast and buffer > 0):
+        sys.stderr.write(
+            "vsom: -bf16stream only affects the streamed fast path "
+            "(-fast with -buffer N); ignored\n")
+        bf16stream = False
     alpha_type = get_alpha_type(scanner)
     snapshot = get_snapshot_opts(scanner, out_code_file, rlen)
 

@@ -75,8 +75,10 @@ class Dataset:
             # tunnel (256 MB per 1M-vector eval — a large share of the
             # 6-16 s eval wall the r4 verdict flagged).  Fast eval/train
             # paths use jnp.asarray(points) (a no-op here); parity paths
-            # that index per row still work, just slower.
-            pass
+            # that index per row still work, just slower.  The float32
+            # invariant still holds: coerce ON DEVICE if needed.
+            if str(self.points.dtype) != "float32":
+                self.points = self.points.astype("float32")
         else:
             self.points = np.ascontiguousarray(self.points, dtype=np.float32)
         if self.points.ndim != 2:

@@ -328,13 +328,18 @@ class SOMTrainer:
                     mkd = None if mk is None else jax.device_put(mk[:nfull])
                     wtd = None if wt is None else jax.device_put(wt[:nfull])
                     ffd = None if ff is None else jax.device_put(ff[:nfull])
-                    # per-batch mask presence, decided on the HOST copy:
+                    # per-batch mask/fixed presence, decided on the HOST copy:
                     # a clean batch inside a block that contains masked
                     # chunks elsewhere must yield mask=None — an all-zero
                     # mask array would route it down the masked kernel,
-                    # whose different rounding can flip near-tie winners
+                    # whose different rounding can flip near-tie winners —
+                    # and consumers then branch on `is not None` alone
+                    # with no per-batch device sync (review finding r5)
                     mk_any = (None if mk is None else
                               [bool(mk[o:o + s].any())
+                               for o in range(0, nfull, s)])
+                    ff_any = (None if ff is None else
+                              [bool((ff[o:o + s] >= 0).any())
                                for o in range(0, nfull, s)])
                     off = 0
                     j = 0
@@ -343,7 +348,8 @@ class SOMTrainer:
                                (mkd[off:off + s]
                                 if mkd is not None and mk_any[j] else None),
                                None if wtd is None else wtd[off:off + s],
-                               None if ffd is None else ffd[off:off + s])
+                               (ffd[off:off + s]
+                                if ffd is not None and ff_any[j] else None))
                         off += s
                         buffered -= s
                         b += 1
@@ -477,15 +483,15 @@ class SOMTrainer:
                     # streams may carry per-component masks or fixed=
                     # tokens per chunk, which the grouped kernel cannot
                     # honor; a group containing any runs the two-kernel
-                    # step batch by batch instead (Dataset input never
+                    # step batch by batch instead.  The streaming
+                    # batches() yields mask/fixed slices ONLY for
+                    # batches that actually contain them (host-side
+                    # any-check), so not-None alone decides — no
+                    # per-group device sync (Dataset input never
                     # reaches here with either: mask=None on this
                     # branch, fixed gated by use_vmem above)
-                    for g in group:
-                        if g[2] is not None and bool(jnp.any(g[2] != 0)):
-                            return True
-                        if g[4] is not None and bool(jnp.any(g[4] >= 0)):
-                            return True
-                    return False
+                    return any(g[2] is not None or g[4] is not None
+                               for g in group)
 
                 GK = 32
                 it = batches()
@@ -588,9 +594,11 @@ class SOMTrainer:
                 nxt = next(it, None)
                 xb_p = pad(xb)
                 xn_p = pad(nxt[1]) if nxt is not None else xb_p
-                if mk_b is not None and mk_b.any():
-                    # masked stream chunk: the fused kernel carries no
-                    # per-component mask — run this batch through the
+                if mk_b is not None:
+                    # masked stream batch (batches() yields a mask slice
+                    # only when the batch truly has masked entries — no
+                    # device .any() sync here): the fused kernel carries
+                    # no per-component mask — run this batch through the
                     # two-kernel masked step and re-seed the BMU pipeline
                     # for the next batch against the updated codebook
                     M1 = self._one_step(
