@@ -933,33 +933,36 @@ def main():
     evals = B_best * N
     extra["headline_config"] = best_name[6:]
 
-    # ---- SELF-CONSISTENT HEADLINE WINDOW (VERDICT r3 task 2): the
-    # headline step time and both probes are measured back-to-back in
-    # one tight window, and EVERY derived metric below comes from these
-    # three numbers — mxu_floor_us / roofline_pct reproduces
-    # step_us_<headline> by construction.  If the window's step differs
-    # from the sweep median by > 10 % the sweep value stays visible as
-    # sweep_step_us_<headline> (phase shift between the two).
-    try:
-        dt_final = slope_time(measures[best_name])
-    except Exception:
-        dt_final = None
-    if dt_final:
-        dt_fused = dt_final
+    # ---- SELF-CONSISTENT HEADLINE WINDOW (VERDICT r3 task 2, tightened
+    # r5): the headline step, its matmul-only SKELETON, and both probes
+    # are measured ROUND-ROBIN in one interleaved window, so every
+    # derived metric below (roofline_pct, attainable_pct, MFU) compares
+    # numbers from the same chip phase — the r5 run-3 record showed
+    # attainable_pct 111 % when the skeleton was timed in a different
+    # phase pocket than the step.  If the window's step differs from the
+    # sweep median by > 10 % the sweep value stays visible as
+    # sweep_step_us_<headline>.
+    skel_name = ("skeleton_B8192_xbf16" if B_best == 8 * B else
+                 "skeleton_B4096" if B_best == 4 * B else
+                 "skeleton_B2048" if B_best == 2 * B else
+                 "skeleton_B1024" if B_best == B else None)
+    hw = {"headline": (measures[best_name], 50, 200)}
+    if skel_name and skel_name in measures:
+        hw["skeleton"] = (measures[skel_name], 50, 200)
+    if "hbm_probe" in measures:
+        hw["hbm_probe"] = (measures["hbm_probe"], 10, 40)
+    if "mxu_probe" in measures:
+        hw["mxu_probe"] = (measures["mxu_probe"], 10, 40)
+    rh, fbh = interleave_medians(hw, rounds=3)
+    if fbh:
+        extra["headline_window_noise_fallbacks"] = sorted(fbh)
+    if rh.get("headline"):
+        dt_fused = rh["headline"]
     extra["step_us_" + best_name[6:]] = round(dt_fused * 1e6, 1)
-
-    def probe_rate(name, per_iter):
-        ch = measures.get(name)
-        if ch is None:
-            return None
-        try:
-            return per_iter / slope_time(ch, short=10, long_=40)
-        except Exception as e:
-            extra[name] = f"failed: {type(e).__name__}"
-            return None
-
-    bw = probe_rate("hbm_probe", HBM_PROBE_BYTES)
-    mxu = probe_rate("mxu_probe", MXU_PROBE_FLOPS)
+    bw = (HBM_PROBE_BYTES / rh["hbm_probe"]
+          if rh.get("hbm_probe") else None)
+    mxu = (MXU_PROBE_FLOPS / rh["mxu_probe"]
+           if rh.get("mxu_probe") else None)
     if bw:
         extra["hbm_probe_tb_s"] = round(bw / 1e12, 2)
     if mxu:
@@ -995,27 +998,19 @@ def main():
 
     # ---- attainable floor: the matmul-only SKELETON of the headline
     # config (same grid/tiles/contractions, zero weight-gen/blend/
-    # argmax), measured in the same window.  The square-probe roofline
-    # above charges the kernel for MXU efficiency that NO implementation
-    # of these contraction shapes can reach (the skeleton itself runs at
-    # only ~60-67 % of the 4096^3 probe); roofline_attainable_pct is the
-    # honest share of the real ceiling.
-    skel_name = ("skeleton_B8192_xbf16" if B_best == 8 * B else
-                 "skeleton_B4096" if B_best == 4 * B else
-                 "skeleton_B2048" if B_best == 2 * B else
-                 "skeleton_B1024" if B_best == B else None)
-    sk = measures.get(skel_name) if skel_name else None
-    if sk is not None:
-        try:
-            skel_dt = slope_time(sk)
-            extra["skeleton_step_us"] = round(skel_dt * 1e6, 1)
-            extra["roofline_attainable_pct"] = round(
-                100 * skel_dt / dt_fused, 1)
-            if mxu:
-                extra["skeleton_mxu_eff_pct"] = round(
-                    100 * flops_padded / skel_dt / mxu, 1)
-        except Exception as e:
-            extra["skeleton"] = f"failed: {type(e).__name__}"
+    # argmax), measured INTERLEAVED with the headline above.  The
+    # square-probe roofline charges the kernel for MXU efficiency that
+    # NO implementation of these contraction shapes can reach (the
+    # skeleton itself runs at only ~60-67 % of the 4096^3 probe);
+    # roofline_attainable_pct is the honest share of the real ceiling.
+    skel_dt = rh.get("skeleton")
+    if skel_dt:
+        extra["skeleton_step_us"] = round(skel_dt * 1e6, 1)
+        extra["roofline_attainable_pct"] = round(
+            100 * skel_dt / dt_fused, 1)
+        if mxu:
+            extra["skeleton_mxu_eff_pct"] = round(
+                100 * flops_padded / skel_dt / mxu, 1)
 
     # ---- extras, measured as INTERLEAVED COMPARISON GROUPS (VERDICT r4
     # task 2: the r4 driver record's sequential extras contradicted the
@@ -1034,7 +1029,7 @@ def main():
                "sharded_fused_t256_1chip_mesh", "sharded_mixed_1chip_mesh"):
         if nm in measures:
             g1[nm] = (measures[nm], 50, 200)
-    r1, fb1 = interleave_medians(g1)
+    r1, fb1 = interleave_medians(g1, rounds=5)
     if fb1:
         extra["sharded_group_noise_fallbacks"] = sorted(fb1)
     for nm, dt in r1.items():
@@ -1077,7 +1072,7 @@ def main():
         g2["vmem_resident"] = (measures["vmem_resident"], 5, 20)
     if "somexample_shape" in measures:
         g2["somexample_shape"] = (measures["somexample_shape"], 10, 40)
-    r2, fb2 = interleave_medians(g2)
+    r2, fb2 = interleave_medians(g2, rounds=5)
     if fb2:
         extra["perf_group_noise_fallbacks"] = sorted(fb2)
     if r2.get("mxu_anchor"):

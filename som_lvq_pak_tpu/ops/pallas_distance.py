@@ -135,21 +135,18 @@ def dist_argmin(
     """
     B, D = x.shape
     N, _ = codes.shape
-    if tile_b is None or tile_n is None:
-        # shape-aware default: the big tiling only when its VMEM working
-        # set (x [+ keep] + codes blocks + the (TB, TN) distance and, on
-        # the masked path, km2 intermediates) stays under ~12 MB — at
-        # large D the blocks alone blow the ~16 MB scoped limit and
-        # Mosaic fails to compile (review finding r5)
-        Dp_ = _round_up(D, 128)
-        nx = 2 if mask is not None else 1
-        big_bytes = ((512 * Dp_ * nx + 1024 * Dp_) * 4
-                     + 512 * 1024 * 4 * (2 if mask is not None else 1))
-        big = B >= 512 and N >= 8192 and big_bytes <= (12 << 20)
-        if tile_b is None:
-            tile_b = 512 if big else 256
-        if tile_n is None:
-            tile_n = 1024 if big else 512
+    # default tiling: (256, 512).  A (512, 1024) auto-upgrade at large
+    # B x N was tried in r5 and REVERTED: across three interleaved bench
+    # windows the bigger tiles won once by 1.7x and lost twice by
+    # 12-27 % — the preference is chip-phase-dependent at this shape, so
+    # the conservative tiling (smaller VMEM working set, safe at any D)
+    # stays the default.  Callers with measured same-process evidence
+    # pass their own tiles (e.g. the whole-array qerror's (512, 2048),
+    # A/B'd at 2.1x in r4).
+    if tile_b is None:
+        tile_b = 256
+    if tile_n is None:
+        tile_n = 512
     if interpret is None:
         # Mosaic only compiles on TPU; fall back to the interpreter on CPU
         interpret = jax.default_backend() == "cpu"
