@@ -96,7 +96,7 @@ def slope_time(chain, short=50, long_=200, best_of=3):
     return pos[len(pos) // 2]
 
 
-def interleave_medians(specs, rounds=3):
+def interleave_medians(specs, rounds=3, agg="median"):
     """Round-robin slope measurement of a COMPARISON GROUP: one
     (short, long) slope sample per chain per round, cycling through the
     group, so every chain's repeats sample the same chip phase — the
@@ -108,7 +108,15 @@ def interleave_medians(specs, rounds=3):
     fallback_names): a name lands in `fallback_names` when every slope
     sample was noise and the min long-chain AVERAGE (an upper bound that
     still carries per-dispatch overhead) substituted — ratio consumers
-    must not treat such values as slopes (review finding r5)."""
+    must not treat such values as slopes (review finding r5).
+
+    `agg="min"` takes the smallest positive slope instead of the
+    median: the right estimator for dispatch/collective-bound chains
+    (the sharded steps), whose rounds suffer HEAVY-TAILED contention
+    pockets — a same-process probe saw both the mixed and the fused TP
+    step wander 412-1518 us across interleaved rounds while the other
+    stayed at its floor, so a median can latch onto a pocket that hit
+    one config's rounds by chance (the r5 run-3/5 mixed dips)."""
     slopes = {n: [] for n in specs}
     longs = {n: [] for n in specs}
     failed = set()
@@ -127,7 +135,7 @@ def interleave_medians(specs, rounds=3):
     for n in specs:
         pos = sorted(x for x in slopes[n] if x > 0)
         if pos:
-            out[n] = pos[len(pos) // 2]
+            out[n] = pos[0] if agg == "min" else pos[len(pos) // 2]
         elif longs[n]:
             out[n] = min(longs[n])
             fallback.add(n)
@@ -1029,7 +1037,8 @@ def main():
                "sharded_fused_t256_1chip_mesh", "sharded_mixed_1chip_mesh"):
         if nm in measures:
             g1[nm] = (measures[nm], 50, 200)
-    r1, fb1 = interleave_medians(g1, rounds=5)
+    r1, fb1 = interleave_medians(g1, rounds=6, agg="min")
+    extra["sharded_group_agg"] = "min of 6 interleaved slope rounds"
     if fb1:
         extra["sharded_group_noise_fallbacks"] = sorted(fb1)
     for nm, dt in r1.items():
@@ -1072,7 +1081,8 @@ def main():
         g2["vmem_resident"] = (measures["vmem_resident"], 5, 20)
     if "somexample_shape" in measures:
         g2["somexample_shape"] = (measures["somexample_shape"], 10, 40)
-    r2, fb2 = interleave_medians(g2, rounds=5)
+    r2, fb2 = interleave_medians(g2, rounds=5, agg="min")
+    extra["perf_group_agg"] = "min of 5 interleaved slope rounds"
     if fb2:
         extra["perf_group_noise_fallbacks"] = sorted(fb2)
     if r2.get("mxu_anchor"):
