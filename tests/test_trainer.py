@@ -169,6 +169,50 @@ def test_olvq1_trainer_streaming_input(ref_dir):
         tr.fit(sr.chunks(laps=1), rlen=30000)
 
 
+def test_lvq_trainer_streamed_batches_exact(ref_dir):
+    """The LVQ streamed superblock path must feed EXACTLY the stream's
+    batches in order — including a masked chunk mid-stream (its batch
+    rides the masked kernel; clean batches in the same transfer block
+    keep mask=None) — matching a manual lvq1_batch_step drive."""
+    import jax.numpy as jnp
+
+    from som_lvq_pak_tpu.data.dataset import Dataset
+    from som_lvq_pak_tpu.models import lvq
+    from som_lvq_pak_tpu.models.fast import lvq1_batch_step
+
+    d1 = read_data(os.path.join(ref_dir, "ex1.dat"))
+    codes = lvq.eveninit(d1, noc=50)
+    X = d1.points[:256]
+    L = d1.first_labels()[:256]
+    mask = np.zeros((64, d1.dim), np.uint8)
+    mask[:, 3] = 1
+
+    def stream():
+        yield Dataset(points=X[:64], labels=L[:64])
+        yield Dataset(points=X[64:128], labels=L[64:128], mask=mask)
+        yield Dataset(points=X[128:192], labels=L[128:192])
+        yield Dataset(points=X[192:256], labels=L[192:256])
+
+    from som_lvq_pak_tpu.models.trainer import LVQTrainer
+
+    tr = LVQTrainer(codes, algorithm="lvq1", batch_size=64,
+                    use_pallas=False, seed=0)
+    out = tr.fit(stream(), rlen=256, alpha=0.05)
+
+    from som_lvq_pak_tpu.models.common import alpha_schedule
+
+    talp = alpha_schedule(256, 0.05, "linear")[::64][:4]
+    M = jnp.asarray(codes.points)
+    cl = jnp.asarray(codes.first_labels())
+    for b in range(4):
+        mb = jnp.asarray(mask) if b == 1 else None
+        M = lvq1_batch_step(M, cl, jnp.asarray(X[b * 64:(b + 1) * 64]),
+                            jnp.asarray(L[b * 64:(b + 1) * 64]),
+                            jnp.float32(talp[b]), use_pallas=False, mask=mb)
+    np.testing.assert_allclose(out.points, np.asarray(M), rtol=1e-6,
+                               atol=1e-6)
+
+
 def test_som_trainer_checkpoint_resume_pallas(ex_dat, tmp_path):
     """Resume through the Pallas path reproduces the uninterrupted run
     (lap permutations derive from fold_in(seed, lap), so a restart
