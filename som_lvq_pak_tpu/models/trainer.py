@@ -659,9 +659,13 @@ class SOMTrainer:
                     make_mixed_fused_som_train_step,
                 )
 
+                # overlap_segments=2: each row-segment's data-axis psum
+                # hides under the next segment's accumulate (exactly
+                # equal results; engages only when the data axis > 1)
                 step = make_mixed_fused_som_train_step(
                     self.mesh, gaussian=self.gaussian, xdim=self.meta.xdim,
-                    hexa=hexa, tile_n=min(512, n_local), d_real=d_real)
+                    hexa=hexa, tile_n=min(512, n_local), d_real=d_real,
+                    overlap_segments=2)
 
             # shared software pipeline: winner of batch t comes from step
             # t-1; the prologue searches batch 0 against the initial

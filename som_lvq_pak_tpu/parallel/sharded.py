@@ -526,6 +526,7 @@ def make_sharded_fused_som_train_step(
 def make_mixed_fused_som_train_step(
     mesh: Mesh, gaussian: bool, xdim: int, hexa: bool,
     tile_n: int = 512, d_real=None, use_pallas: bool = True,
+    overlap_segments: int = 1,
 ) -> Callable:
     """Fused SOM step for MIXED data x model meshes (VERDICT r3 task 4):
     the batch shards over `data`, the codebook over `model`, and the
@@ -545,7 +546,16 @@ def make_mixed_fused_som_train_step(
 
     Works for any data/model axis sizes >= 1 (pure DP included); for
     data == 1 prefer make_sharded_fused_som_train_step (one codebook
-    pass instead of two)."""
+    pass instead of two).
+
+    `overlap_segments > 1` splits the shard's ROWS into that many
+    segments, accumulating and psumming each separately: segment k's
+    accumulators are independent of segment k+1's, so XLA can hide
+    segment k's data-axis psum under segment k+1's accumulate pass —
+    the psum is the dominant per-step term of the N-chip scaling model
+    (docs/SCALING.md: overlapping it bounds the 64-chip mixed layout at
+    ~56 % vs ~40 % efficiency).  Per-element additions are unchanged,
+    so the result is EXACTLY equal to overlap_segments=1 (tested)."""
     from ..models.fast import _guarded_sum_update
     from ..ops.pallas_som import som_neighborhood_accumulate
 
@@ -576,14 +586,34 @@ def make_mixed_fused_som_train_step(
             d = jax.lax.axis_index("data")
             Bl = xb_l.shape[0]
             a = jax.lax.dynamic_slice(a, (d * Bl,), (Bl,))
-        tn = _pick_tile(n_local)
-        acc, wsum = som_neighborhood_accumulate(
-            xb_l, bmu_l, n_local, xdim, hexa, a, radius,
-            gaussian=gaussian, tile_n=tn,
-            unit_offset=off, interpret=not use_pallas or None)
-        if dp > 1:
-            acc = jax.lax.psum(acc, "data")
-            wsum = jax.lax.psum(wsum, "data")
+        tn = _pick_tile(n_local)  # pass-B (blend+winner) tile
+        segs = overlap_segments
+        if segs > 1 and (n_local % segs or (n_local // segs) % 8):
+            segs = 1  # fall back: segments must be 8-row-aligned
+        if segs > 1 and dp > 1:
+            H = n_local // segs
+            tn_k = _pick_tile(H)
+            parts = []
+            for k in range(segs):
+                a_k, w_k = som_neighborhood_accumulate(
+                    xb_l, bmu_l, H, xdim, hexa, a, radius,
+                    gaussian=gaussian, tile_n=tn_k,
+                    unit_offset=off + k * H,
+                    interpret=not use_pallas or None)
+                # psum of row-segment k is independent of segment k+1's
+                # accumulate — XLA schedules the collective under it
+                parts.append((jax.lax.psum(a_k, "data"),
+                              jax.lax.psum(w_k, "data")))
+            acc = jnp.concatenate([p[0] for p in parts])
+            wsum = jnp.concatenate([p[1] for p in parts])
+        else:
+            acc, wsum = som_neighborhood_accumulate(
+                xb_l, bmu_l, n_local, xdim, hexa, a, radius,
+                gaussian=gaussian, tile_n=tn,
+                unit_offset=off, interpret=not use_pallas or None)
+            if dp > 1:
+                acc = jax.lax.psum(acc, "data")
+                wsum = jax.lax.psum(wsum, "data")
         # pass B: blend + next batch shard's winner in ONE codebook pass
         if use_pallas and jax.default_backend() != "cpu":
             from ..ops.pallas_som import som_blend_winner

@@ -370,6 +370,48 @@ def test_mixed_fused_step_non_dividing_shard_height(mesh):
     assert (np.asarray(bmu2) >= 0).all() and (np.asarray(bmu2) < N).all()
 
 
+def test_mixed_fused_step_overlap_segments_exact():
+    """overlap_segments > 1 (segmented accumulate -> psum so XLA can
+    hide each segment's data-axis collective under the next segment's
+    accumulate — the SCALING.md mixed-layout lever) must be EXACTLY
+    equal to the unsegmented step: row-disjoint accumulators preserve
+    every per-element addition."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from som_lvq_pak_tpu.parallel.sharded import (
+        make_mixed_fused_som_train_step,
+    )
+
+    mesh = make_mesh(8, data=2, model=4)
+    xdim, ydim = 16, 16
+    N, B, D = xdim * ydim, 64, 128
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(4), 3)
+    codes = jax.random.normal(k1, (N, D), dtype=jnp.float32)
+    xb = jax.random.normal(k2, (B, D), dtype=jnp.float32)
+    xn = jax.random.normal(k3, (B, D), dtype=jnp.float32)
+    bmu = jnp.argmin(
+        jnp.sum((xb[:, None, :] - codes[None]) ** 2, axis=-1), axis=-1
+    ).astype(jnp.int32)
+    args = (jax.device_put(codes, NamedSharding(mesh, P("model", None))),
+            jax.device_put(xb, NamedSharding(mesh, P("data", None))),
+            jax.device_put(bmu, NamedSharding(mesh, P("data"))),
+            jax.device_put(xn, NamedSharding(mesh, P("data", None))),
+            jnp.float32(0.05), jnp.float32(3.0))
+    base = make_mixed_fused_som_train_step(
+        mesh, gaussian=True, xdim=xdim, hexa=True, tile_n=16,
+        use_pallas=False)
+    c0, b0 = base(*args)
+    for segs in (2, 4):
+        lapped = make_mixed_fused_som_train_step(
+            mesh, gaussian=True, xdim=xdim, hexa=True, tile_n=16,
+            use_pallas=False, overlap_segments=segs)
+        c1, b1 = lapped(*args)
+        np.testing.assert_array_equal(np.asarray(c1), np.asarray(c0))
+        np.testing.assert_array_equal(np.asarray(b1), np.asarray(b0))
+
+
 @pytest.mark.parametrize("dd,dm", [(2, 4), (1, 8)])
 def test_mesh_trainer_weighted_fixed_masked_matches_single(dd, dm):
     """SOMTrainer on a mesh must equal the single-device trainer for
