@@ -110,13 +110,21 @@ def interleave_medians(specs, rounds=3, agg="median"):
     still carries per-dispatch overhead) substituted — ratio consumers
     must not treat such values as slopes (review finding r5).
 
-    `agg="min"` takes the smallest positive slope instead of the
-    median: the right estimator for dispatch/collective-bound chains
-    (the sharded steps), whose rounds suffer HEAVY-TAILED contention
-    pockets — a same-process probe saw both the mixed and the fused TP
-    step wander 412-1518 us across interleaved rounds while the other
-    stayed at its floor, so a median can latch onto a pocket that hit
-    one config's rounds by chance (the r5 run-3/5 mixed dips)."""
+    `agg="min"` takes the smallest positive slope NO LOWER than half
+    the median: the capability estimator for dispatch/collective-bound
+    chains (the sharded steps), whose rounds suffer HEAVY-TAILED
+    contention pockets — a same-process probe saw both the mixed and
+    the fused TP step wander 412-1518 us across interleaved rounds
+    while the other stayed at its floor, so a median can latch onto a
+    pocket that hit one config's rounds by chance (the r5 run-3/5 mixed
+    dips).  The half-median floor rejects the opposite artifact: a
+    short/long pair STRADDLING a pocket yields a spuriously tiny slope
+    (short chain slow, long chain fast -> slope far below the true
+    floor) that a raw min would latch onto.
+
+    Returns (values, fallback_names, failed_names) — `failed_names`
+    are chains whose measurement raised (recorded by callers so a
+    missing metric is distinguishable from a skipped compile)."""
     slopes = {n: [] for n in specs}
     longs = {n: [] for n in specs}
     failed = set()
@@ -135,13 +143,18 @@ def interleave_medians(specs, rounds=3, agg="median"):
     for n in specs:
         pos = sorted(x for x in slopes[n] if x > 0)
         if pos:
-            out[n] = pos[0] if agg == "min" else pos[len(pos) // 2]
+            med = pos[len(pos) // 2]
+            if agg == "min":
+                sane = [x for x in pos if x >= 0.5 * med]
+                out[n] = sane[0] if sane else med
+            else:
+                out[n] = med
         elif longs[n]:
             out[n] = min(longs[n])
             fallback.add(n)
         else:
             out[n] = None
-    return out, fallback
+    return out, fallback, failed
 
 
 # ---------------------------------------------------------------------------
@@ -908,10 +921,12 @@ def main():
     # difference; per-config value = median positive slope.  These are
     # the SELECTION numbers (reported as sweep_step_us_*); the headline
     # and all derived metrics come from the final same-window block.
-    sweep_dts, sweep_fb = interleave_medians(
+    sweep_dts, sweep_fb, sweep_fail = interleave_medians(
         {n: (measures[n], 50, 200) for n in FUSED_META if n in measures})
     if sweep_fb:
         extra["sweep_noise_fallbacks"] = sorted(sweep_fb)
+    for n in sweep_fail:
+        extra[n] = "failed: interleaved sweep chain raised"
     sweep = {}   # name -> (dt, B of the config)
     for name, dt in sweep_dts.items():
         if dt is None:
@@ -961,16 +976,33 @@ def main():
         hw["hbm_probe"] = (measures["hbm_probe"], 10, 40)
     if "mxu_probe" in measures:
         hw["mxu_probe"] = (measures["mxu_probe"], 10, 40)
-    rh, fbh = interleave_medians(hw, rounds=3)
+    rh, fbh, failh = interleave_medians(hw, rounds=3)
     if fbh:
         extra["headline_window_noise_fallbacks"] = sorted(fbh)
-    if rh.get("headline"):
+    for n in failh:
+        extra["headline_window_" + n] = "failed: chain raised"
+
+    def window_slope(nm):
+        # fallback values are long-chain AVERAGES carrying dispatch
+        # overhead — the derived roofline/MFU metrics must come from
+        # true slopes only (the function's own contract)
+        return rh.get(nm) if nm not in fbh else None
+
+    headline_ok = window_slope("headline") is not None
+    if headline_ok:
         dt_fused = rh["headline"]
+    else:
+        extra["headline_window"] = ("no true slope this window; headline "
+                                    "uses the sweep median and the "
+                                    "roofline metrics are omitted")
     extra["step_us_" + best_name[6:]] = round(dt_fused * 1e6, 1)
-    bw = (HBM_PROBE_BYTES / rh["hbm_probe"]
-          if rh.get("hbm_probe") else None)
-    mxu = (MXU_PROBE_FLOPS / rh["mxu_probe"]
-           if rh.get("mxu_probe") else None)
+    # probes gate on the headline's validity too: a roofline ratio of a
+    # sweep-phase step against new-window probes would reintroduce the
+    # cross-phase mixing this window exists to eliminate
+    bw = (HBM_PROBE_BYTES / window_slope("hbm_probe")
+          if headline_ok and window_slope("hbm_probe") else None)
+    mxu = (MXU_PROBE_FLOPS / window_slope("mxu_probe")
+           if headline_ok and window_slope("mxu_probe") else None)
     if bw:
         extra["hbm_probe_tb_s"] = round(bw / 1e12, 2)
     if mxu:
@@ -1011,7 +1043,7 @@ def main():
     # NO implementation of these contraction shapes can reach (the
     # skeleton itself runs at only ~60-67 % of the 4096^3 probe);
     # roofline_attainable_pct is the honest share of the real ceiling.
-    skel_dt = rh.get("skeleton")
+    skel_dt = window_slope("skeleton") if headline_ok else None
     if skel_dt:
         extra["skeleton_step_us"] = round(skel_dt * 1e6, 1)
         extra["roofline_attainable_pct"] = round(
@@ -1037,10 +1069,13 @@ def main():
                "sharded_fused_t256_1chip_mesh", "sharded_mixed_1chip_mesh"):
         if nm in measures:
             g1[nm] = (measures[nm], 50, 200)
-    r1, fb1 = interleave_medians(g1, rounds=6, agg="min")
-    extra["sharded_group_agg"] = "min of 6 interleaved slope rounds"
+    r1, fb1, fail1 = interleave_medians(g1, rounds=6, agg="min")
+    extra["sharded_group_agg"] = ("min (>= half-median) of 6 interleaved "
+                                  "slope rounds")
     if fb1:
         extra["sharded_group_noise_fallbacks"] = sorted(fb1)
+    for n in fail1:
+        extra[n] = "failed: chain raised"
     for nm, dt in r1.items():
         if dt is not None:
             extra[("step_us_" + nm) if nm.startswith("anchor")
@@ -1081,10 +1116,13 @@ def main():
         g2["vmem_resident"] = (measures["vmem_resident"], 5, 20)
     if "somexample_shape" in measures:
         g2["somexample_shape"] = (measures["somexample_shape"], 10, 40)
-    r2, fb2 = interleave_medians(g2, rounds=5, agg="min")
-    extra["perf_group_agg"] = "min of 5 interleaved slope rounds"
+    r2, fb2, fail2 = interleave_medians(g2, rounds=5, agg="min")
+    extra["perf_group_agg"] = ("min (>= half-median) of 5 interleaved "
+                               "slope rounds")
     if fb2:
         extra["perf_group_noise_fallbacks"] = sorted(fb2)
+    for n in fail2:
+        extra[n] = "failed: chain raised"
     if r2.get("mxu_anchor"):
         extra["extras_window_mxu_tflops"] = round(
             MXU_PROBE_FLOPS / r2["mxu_anchor"] / 1e12, 1)

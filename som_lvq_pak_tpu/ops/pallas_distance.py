@@ -110,11 +110,10 @@ def dist_argmin(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fused 1-NN winner search: returns (sq_dists (B,), indices (B,)).
 
-    `tile_b`/`tile_n` default to shape-aware picks: (512, 1024) when
-    both the batch and the codebook are large — fewer codebook
-    re-streams per batch tile, measured 1.7x over (256, 512) at
-    B=1024 x N=65536 in the r5 interleaved bench window — else the
-    small-shape (256, 512).
+    `tile_b`/`tile_n` default to the conservative (256, 512) at every
+    shape (a (512, 1024) large-shape auto-upgrade was tried in r5 and
+    reverted as chip-phase-dependent — see the inline note); callers
+    with same-process A/B evidence for a shape pass explicit tiles.
 
     `m2` = precomputed ||m||^2 (N,) float32; recomputed if None.
 
