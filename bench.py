@@ -1103,6 +1103,11 @@ def main():
     g2 = {}
     if "mxu_probe" in measures:
         g2["mxu_anchor"] = (measures["mxu_probe"], 10, 40)
+    if "hbm_probe" in measures:
+        # the dist kernel re-streams the whole codebook once per batch
+        # tile — HBM-bound, so its cross-run swings track bandwidth
+        # weather; the same-window HBM anchor makes that visible
+        g2["hbm_anchor"] = (measures["hbm_probe"], 10, 40)
     if "fused_fact_dreal_f32" in measures:
         g2["anchor_fused_B1024"] = (measures["fused_fact_dreal_f32"], 50, 200)
     dist_chains = measures.get("dist_kernel") or {}
@@ -1130,12 +1135,24 @@ def main():
     if r2.get("mxu_anchor"):
         extra["extras_window_mxu_tflops"] = round(
             MXU_PROBE_FLOPS / r2["mxu_anchor"] / 1e12, 1)
+    if r2.get("hbm_anchor"):
+        extra["extras_window_hbm_tb_s"] = round(
+            HBM_PROBE_BYTES / r2["hbm_anchor"] / 1e12, 2)
     dist_dts = [r2[nm] for nm in dist_chains if true_slope(r2, fb2, nm)]
     for nm in dist_chains:
         if r2.get(nm):
             extra["step_us_" + nm] = round(r2[nm] * 1e6, 1)
     if dist_dts:
         extra["dist_kernel_evals_per_s"] = round(B * N / min(dist_dts))
+        if r2.get("hbm_anchor") and "hbm_anchor" not in fb2:
+            # HBM floor of the winning tiling: ~2 codebook re-streams
+            # (B=1024 over tile_b=512) x N*DP*4 bytes at the SAME
+            # window's bandwidth — the dist extra's honest context
+            # (its cross-run swings are bandwidth weather, not code)
+            bw2 = HBM_PROBE_BYTES / r2["hbm_anchor"]
+            floor = 2 * N * DP * 4 / bw2
+            extra["dist_kernel_hbm_floor_pct"] = round(
+                100 * floor / min(dist_dts), 1)
     if true_slope(r2, fb2, "olvq1"):
         extra["olvq1_step_evals_per_s"] = round(B * N / r2["olvq1"])
     if r2.get("unfused_r1_style"):
@@ -1222,6 +1239,7 @@ def main():
         "fused_tp_vs_two_pass": extra.get("fused_tp_vs_two_pass_speedup"),
         "mixed_vs_two_pass": extra.get("mixed_vs_two_pass_speedup"),
         "dist_kernel_evals_per_s": extra.get("dist_kernel_evals_per_s"),
+        "dist_kernel_hbm_floor_pct": extra.get("dist_kernel_hbm_floor_pct"),
         "k128_vs_d64_step_ratio": extra.get("k128_vs_d64_step_ratio"),
         "vmem_resident_evals_per_s": extra.get("vmem_resident_evals_per_s"),
         "somexample_vs_reference_x": extra.get(
