@@ -28,16 +28,23 @@ compile phase can no longer starve the whole evidence base (the r02
 failure mode); (2) MEASURE — budget clock (SOMVQ_BENCH_BUDGET_S)
 starts only now; each warmed config measures in well under a second.
 
-Prints ONE JSON line.  Timing methodology: chained dispatches with a
-real data dependency (each step's outputs feed the next) so XLA cannot
-elide work, ended by an actual HOST FETCH of the result, at two chain
+Prints ONE JSON line whose LAST key is a compact `summary` object
+repeating every verdict-grade number (the driver records only the tail
+of the line).  Timing methodology: chained dispatches with a real data
+dependency (each step's outputs feed the next) so XLA cannot elide
+work, ended by an actual HOST FETCH of the result, at two chain
 lengths — the per-step time is the SLOPE (T(long) - T(short)) /
 (long - short), which cancels both the per-dispatch floor and any
 readiness-tracking slack in the TPU tunnel (block_until_ready alone
 has been observed to return early through the tunnel, inflating
-throughput ~10x; a fetched value cannot lie).  See PERF.md for the
-round-by-round history (the r01 figure recorded before this
-methodology is retracted there)."""
+throughput ~10x; a fetched value cannot lie).  Comparison sets
+(the fused-config sweep, the headline + skeleton + probes, the sharded
+family, the throughput extras) measure as round-robin INTERLEAVED
+groups with same-window anchors; dispatch/collective-bound chains
+aggregate min-above-half-median (heavy-tailed contention pockets),
+everything else the median.  See PERF.md for the round-by-round
+history (the r01 figure recorded before this methodology is retracted
+there) and the r5 estimator analysis."""
 
 import json
 import os
