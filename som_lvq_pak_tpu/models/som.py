@@ -560,7 +560,7 @@ def _qerror_whole_step(total, xs, M, Mp, m2, xm):
 
         @functools.partial(jax.jit, static_argnames=("masked",))
         def step(total, xs, M, Mp, m2, xm, masked):
-            from ..ops.pallas_distance import dist_argmin
+            from ..ops.pallas_distance import dist_argmin, dist_argmin_t
 
             D_ = xs.shape[1]
             Dp_ = Mp.shape[1]
@@ -570,10 +570,10 @@ def _qerror_whole_step(total, xs, M, Mp, m2, xm):
                 xp = (xs if Dp_ == D_ else
                       jnp.zeros((xs.shape[0], Dp_), xs.dtype)
                       .at[:, :D_].set(xs))
-                # big-batch tiling (see _qerror_chunk_step): fewer
-                # codebook re-streams per batch tile
-                _, idx = dist_argmin(xp, Mp, m2=m2, tile_b=512,
-                                     tile_n=2048)
+                # transposed winner kernel: sublane-oriented fold,
+                # measured 1.4x the best classic tiling at the big-eval
+                # shape (r5 same-window A/B, winners identical)
+                _, idx = dist_argmin_t(xp, Mp, tile_b=1024, tile_n=512)
             diff = xs - M[idx]
             if masked:
                 keep = 1.0 - xm.astype(jnp.float32)
@@ -607,7 +607,7 @@ def _qerror_chunk_step(total, xs, valid, M, Mp, m2, xm):
 
         @functools.partial(jax.jit, static_argnames=("masked",))
         def step(total, xs, valid, M, Mp, m2, xm, masked):
-            from ..ops.pallas_distance import dist_argmin
+            from ..ops.pallas_distance import dist_argmin, dist_argmin_t
 
             D_ = xs.shape[1]
             Dp_ = Mp.shape[1]
@@ -616,12 +616,12 @@ def _qerror_chunk_step(total, xs, valid, M, Mp, m2, xm):
             if masked:
                 _, idx = dist_argmin(xs, M, mask=xm)
             else:
-                # big-batch tiling: same-process A/B at 65k x 65k
-                # measured 37.5 ms (256, 512 default) vs 17.7 ms
-                # (512, 2048) per chunk — fewer codebook re-streams per
-                # batch tile
-                _, idx = dist_argmin(xp, Mp, m2=m2, tile_b=512,
-                                     tile_n=2048)
+                # transposed winner kernel (sublane-oriented fold):
+                # the r4 same-process A/B took the classic kernel from
+                # 37.5 to 17.7 ms per 65k x 65k chunk via (512, 2048)
+                # tiling; the r5 transposed kernel is another 1.4x at
+                # this shape (winners identical, same-window A/B)
+                _, idx = dist_argmin_t(xp, Mp, tile_b=1024, tile_n=512)
             diff = xs - M[idx]
             if masked:
                 diff = diff * (1.0 - xm.astype(jnp.float32))

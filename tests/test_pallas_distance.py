@@ -22,6 +22,36 @@ def test_dist_argmin_matches_reference(shape):
     np.testing.assert_allclose(np.asarray(val), np.asarray(rval), rtol=1e-5, atol=1e-3)
 
 
+@pytest.mark.parametrize("shape", [(64, 96, 5), (100, 200, 20),
+                                   (300, 1000, 64)])
+def test_dist_argmin_t_matches_reference(shape):
+    """The transposed winner kernel (sublane-oriented fold, max-score
+    form — r5) matches the oracle: winners, values, and the first-index
+    tie rule, including unaligned/padded shapes."""
+    from som_lvq_pak_tpu.ops.pallas_distance import dist_argmin_t
+
+    B, N, D = shape
+    k1, k2 = jax.random.split(jax.random.PRNGKey(1))
+    x = jax.random.normal(k1, (B, D), dtype=jnp.float32) * 10
+    m = jax.random.normal(k2, (N, D), dtype=jnp.float32) * 10
+    val, idx = dist_argmin_t(x, m)
+    rval, ridx = dist_argmin_reference(x, m)
+    assert (np.asarray(idx) == np.asarray(ridx)).all()
+    np.testing.assert_allclose(np.asarray(val), np.asarray(rval),
+                               rtol=1e-4, atol=1e-2)
+
+
+def test_dist_argmin_t_tie_break_first_index():
+    from som_lvq_pak_tpu.ops.pallas_distance import dist_argmin_t
+
+    k = jax.random.PRNGKey(2)
+    m = jax.random.normal(k, (256, 16), dtype=jnp.float32)
+    m = m.at[200].set(m[3]).at[100].set(m[7])  # exact duplicates
+    x = m[jnp.array([3, 7, 3, 7])]
+    _, idx = dist_argmin_t(x, m)
+    assert np.asarray(idx).tolist() == [3, 7, 3, 7]
+
+
 def test_tie_break_first_index():
     # duplicate codes: the lower index must win (C strict < scan)
     x = jnp.ones((8, 8), dtype=jnp.float32)

@@ -196,6 +196,16 @@ def main():
     case("dist_argmin[256,512]", lambda: dist(256, 512))
     case("dist_argmin[512,1024]", lambda: dist(512, 1024))
 
+    def dist_t(tb, tn):
+        from som_lvq_pak_tpu.ops.pallas_distance import dist_argmin_t
+
+        v, i = dist_argmin_t(xb, codes, tile_b=tb, tile_n=tn)
+        _, i0 = dist_argmin(xb, codes, tile_b=256, tile_n=512)
+        assert (np.asarray(i) == np.asarray(i0)).mean() > 0.999
+
+    case("dist_argmin_t[1024,512]", lambda: dist_t(1024, 512))
+    case("dist_argmin_t[2048,256]", lambda: dist_t(2048, 256))
+
     def upd_masked():
         mask = (jax.random.uniform(k3, (1024, 128)) < 0.1).astype(jnp.uint8)
         _, bmu = dist_argmin(xb, codes)
