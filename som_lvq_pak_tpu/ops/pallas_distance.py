@@ -134,6 +134,17 @@ def dist_argmin(
     """
     B, D = x.shape
     N, _ = codes.shape
+    # big unmasked default-tile batches dispatch to the TRANSPOSED
+    # kernel (sublane-oriented winner fold): same-window A/B at
+    # N=65536 measured 1.53x at B=16384, 1.23x at B=32768, 1.40x at
+    # B=65536 over the best classic tiling, winners identical (classic
+    # kept only the B=8192 window, hence the >= 16384 gate)
+    if (mask is None and not bf16 and tile_b is None and tile_n is None
+            and B >= 16384 and N >= 1024 and D <= 512):
+        # D-gate keeps the (1024, Dp) + (512, Dp) blocks within the
+        # measured-VMEM regime (cf. the r5 review's large-D finding)
+        return dist_argmin_t(x, codes, interpret=interpret,
+                             precision=precision)
     # default tiling: (256, 512).  A (512, 1024) auto-upgrade at large
     # B x N was tried in r5 and REVERTED: across three interleaved bench
     # windows the bigger tiles won once by 1.7x and lost twice by
