@@ -928,8 +928,14 @@ def main():
     # difference; per-config value = median positive slope.  These are
     # the SELECTION numbers (reported as sweep_step_us_*); the headline
     # and all derived metrics come from the final same-window block.
+    # agg="min" (above half-median): selecting the BEST config is a
+    # capability comparison, and under heavy-tailed contention a median
+    # lets a pocket-ridden strong config lose to a slow-but-lucky one
+    # (run 12 picked plain_f32 over every factored config in a bad
+    # window, with attainable_pct 157 % as the tell)
     sweep_dts, sweep_fb, sweep_fail = interleave_medians(
-        {n: (measures[n], 50, 200) for n in FUSED_META if n in measures})
+        {n: (measures[n], 50, 200) for n in FUSED_META if n in measures},
+        agg="min")
     if sweep_fb:
         extra["sweep_noise_fallbacks"] = sorted(sweep_fb)
     for n in sweep_fail:
